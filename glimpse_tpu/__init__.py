@@ -1,0 +1,20 @@
+"""glimpse_tpu: TPU-native timelapse image calibration and velocity tracking.
+
+A ground-up JAX/XLA/Pallas rebuild of the capabilities of the reference
+``glimpse`` package (time-lapse glacier photogrammetry and velocimetry):
+distorted camera models, raster/DEM sampling with viewshed and horizon,
+camera calibration and sequence stabilization, and a Bayesian particle-filter
+tracker whose entire update step (projection, NCC template matching,
+likelihood, resampling) runs on-device, batched over thousands of points.
+"""
+from . import config, helpers, ops
+from .camera import Camera
+
+__all__ = [
+    "config",
+    "helpers",
+    "ops",
+    "Camera",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,503 @@
+"""Distorted camera model: world <-> image coordinate conversion.
+
+API-compatible with the reference ``Camera``
+(``/root/reference/src/glimpse/camera.py:20``), but all math lives in
+:mod:`glimpse_tpu.ops.projection` as pure dual-backend functions: this class
+calls them with NumPy float64 (meeting the reference's < 1e-12 px round-trip
+contract, ``tests/test_camera.py:42-89``), while TPU hot paths (tracking,
+calibration residuals, DEM rendering) call the same functions with
+``jax.numpy`` under jit/vmap.
+"""
+import copy
+import datetime  # noqa: F401  (kept for parity of signatures)
+from pathlib import Path
+from typing import Any, Dict, Iterable, Optional, Tuple, Union
+
+import numpy as np
+
+from . import helpers
+from .ops import projection as proj
+
+Number = Union[int, float]
+Vector = Union[Number, Iterable[Number], np.ndarray]
+
+
+class Camera:
+    """Distorted camera model over a 20-float parameter vector.
+
+    Parameters: position ``xyz``, view direction ``viewdir`` (yaw, pitch,
+    roll in degrees), image size ``imgsz``, focal length ``f`` (px),
+    principal point offset ``c`` (px), radial distortion ``k`` (k1..k6,
+    rational model), tangential distortion ``p`` (p1, p2). Focal length and
+    principal point may instead be given in mm (``fmm``, ``cmm``) together
+    with ``sensorsz``.
+
+    ``correction`` enables earth-curvature + atmospheric-refraction
+    correction when projecting absolute world coordinates: `False` to skip,
+    `True` for defaults, or a dict with ``radius`` and/or ``refraction``.
+    """
+
+    def __init__(
+        self,
+        imgsz: Vector,
+        f: Vector = None,
+        c: Vector = None,
+        sensorsz: Vector = None,
+        fmm: Vector = None,
+        cmm: Vector = None,
+        k: Vector = (0, 0, 0, 0, 0, 0),
+        p: Vector = (0, 0),
+        xyz: Vector = (0, 0, 0),
+        viewdir: Vector = (0, 0, 0),
+        correction: Union[bool, dict] = False,
+    ) -> None:
+        if (fmm is not None or cmm is not None) and sensorsz is None:
+            raise ValueError("Attributes in mm (fmm, cmm) provided without sensor size")
+        if f is not None and fmm is not None:
+            raise ValueError("Focal length provided in both pixels and mm (f, fmm)")
+        if c is not None and cmm is not None:
+            raise ValueError(
+                "Principal point offset provided in both pixels and mm (c, cmm)"
+            )
+        if imgsz is None:
+            raise ValueError("Image size (imgsz) cannot be None")
+        self._vector = np.full(20, np.nan, dtype=float)
+        self.xyz = xyz
+        self.viewdir = viewdir
+        self.imgsz = imgsz
+        self.sensorsz = sensorsz
+        if fmm is not None:
+            f = helpers.format_list(fmm, length=2) * self.imgsz / self.sensorsz
+        if f is None:
+            raise ValueError("Focal length (f or fmm) is missing")
+        self.f = f
+        if cmm is not None:
+            c = helpers.format_list(cmm, length=2) * self.imgsz / self.sensorsz
+        if c is None:
+            c = (0, 0)
+        self.c = c
+        self.k = k
+        self.p = p
+        if correction is True:
+            correction = {}
+        if isinstance(correction, dict):
+            correction = {
+                "radius": proj.EARTH_RADIUS,
+                "refraction": proj.REFRACTION,
+                **correction,
+            }
+        self.correction = correction
+        self._original_vector = self._vector.copy()
+
+    # ---- Vector-slice properties ---- #
+
+    @property
+    def xyz(self) -> np.ndarray:
+        """Position in world coordinates (x, y, z)."""
+        return self._vector[proj.XYZ]
+
+    @xyz.setter
+    def xyz(self, value: Vector) -> None:
+        self._vector[proj.XYZ] = helpers.format_list(value, length=3, default=0)
+
+    @property
+    def viewdir(self) -> np.ndarray:
+        """View direction in degrees (yaw, pitch, roll)."""
+        return self._vector[proj.VIEWDIR]
+
+    @viewdir.setter
+    def viewdir(self, value: Vector) -> None:
+        self._vector[proj.VIEWDIR] = helpers.format_list(value, length=3, default=0)
+
+    @property
+    def imgsz(self) -> np.ndarray:
+        """Image size in pixels (nx, ny)."""
+        return self._vector[proj.IMGSZ].astype(int)
+
+    @imgsz.setter
+    def imgsz(self, value: Vector) -> None:
+        as_int = helpers.format_list(value, length=2, dtype=int)
+        as_float = helpers.format_list(value, length=2)
+        if np.any(np.asarray(as_int) != np.asarray(as_float)):
+            raise ValueError("Image size is not integer")
+        self._vector[proj.IMGSZ] = as_int
+
+    @property
+    def f(self) -> np.ndarray:
+        """Focal length in pixels (fx, fy)."""
+        return self._vector[proj.F]
+
+    @f.setter
+    def f(self, value: Vector) -> None:
+        self._vector[proj.F] = helpers.format_list(value, length=2)
+
+    @property
+    def c(self) -> np.ndarray:
+        """Principal point offset from the image center in pixels (dx, dy)."""
+        return self._vector[proj.C]
+
+    @c.setter
+    def c(self, value: Vector) -> None:
+        self._vector[proj.C] = helpers.format_list(value, length=2, default=0)
+
+    @property
+    def k(self) -> np.ndarray:
+        """Radial distortion coefficients (k1..k6)."""
+        return self._vector[proj.K]
+
+    @k.setter
+    def k(self, value: Vector) -> None:
+        self._vector[proj.K] = helpers.format_list(value, length=6, default=0)
+
+    @property
+    def p(self) -> np.ndarray:
+        """Tangential distortion coefficients (p1, p2)."""
+        return self._vector[proj.P]
+
+    @p.setter
+    def p(self, value: Vector) -> None:
+        self._vector[proj.P] = helpers.format_list(value, length=2, default=0)
+
+    @property
+    def sensorsz(self) -> Optional[np.ndarray]:
+        """Sensor size in millimeters (nx, ny)."""
+        return self._sensorsz
+
+    @sensorsz.setter
+    def sensorsz(self, value: Vector = None) -> None:
+        if value is not None:
+            value = np.array(helpers.format_list(value, length=2), dtype=float)
+        self._sensorsz = value
+
+    @property
+    def fmm(self) -> Optional[np.ndarray]:
+        """Focal length in millimeters (fx, fy)."""
+        if self.sensorsz is None:
+            return None
+        return self.f * self.sensorsz / self.imgsz
+
+    @fmm.setter
+    def fmm(self, value: Vector) -> None:
+        if self.sensorsz is None:
+            raise ValueError("Sensor size is required")
+        self.f = helpers.format_list(value, length=2) * self.imgsz / self.sensorsz
+
+    @property
+    def cmm(self) -> Optional[np.ndarray]:
+        """Principal point offset from the image center in millimeters (dx, dy)."""
+        if self.sensorsz is None:
+            return None
+        return self.c * self.sensorsz / self.imgsz
+
+    @cmm.setter
+    def cmm(self, value: Vector) -> None:
+        if self.sensorsz is None:
+            raise ValueError("Sensor size is required")
+        self.c = (
+            helpers.format_list(value, length=2, default=0) * self.imgsz / self.sensorsz
+        )
+
+    @property
+    def R(self) -> np.ndarray:
+        """Rotation matrix equivalent of :attr:`viewdir` (3, 3)."""
+        return proj.rotation_matrix(self.viewdir, xp=np)
+
+    @property
+    def Rprime(self) -> np.ndarray:
+        """Derivative of :attr:`R` with respect to :attr:`viewdir` (3, 3, 3)."""
+        return proj.rotation_matrix_gradient(self.viewdir, xp=np)
+
+    @property
+    def _correction_tuple(self) -> Optional[Tuple[float, float]]:
+        """Correction constants as a (radius, refraction) tuple, or None."""
+        if isinstance(self.correction, dict):
+            return (self.correction["radius"], self.correction["refraction"])
+        return None
+
+    # ---- Constructors ---- #
+
+    @classmethod
+    def from_json(cls, path: Union[str, Path], **kwargs: Any) -> "Camera":
+        """Read Camera from a JSON file. See :meth:`to_json` for the reverse."""
+        json_args = helpers.read_json(path)
+        for key in list(json_args):
+            value = json_args[key]
+            if isinstance(value, (bool, dict)) or value is None:
+                # Non-numeric parameters (e.g. correction) pass through.
+                continue
+            value = np.array(value, dtype=float)
+            if np.isnan(value).all():
+                value = None
+            json_args[key] = value
+        args = {**json_args, **kwargs}
+        return cls(**args)
+
+    # ---- State management ---- #
+
+    def copy(self) -> "Camera":
+        """Return a copy whose original (reset) state is this camera's current state."""
+        cam = copy.deepcopy(self)
+        cam._original_vector = cam._vector.copy()
+        return cam
+
+    def reset(self) -> None:
+        """Reset this camera to its original state."""
+        self._vector = self._original_vector.copy()
+
+    def to_array(self) -> np.ndarray:
+        """Return the 20-float camera parameter vector."""
+        return self._vector.copy()
+
+    def to_dict(
+        self,
+        attributes: Iterable[str] = (
+            "xyz", "viewdir", "imgsz", "f", "c", "k", "p", "correction",
+        ),
+    ) -> Dict[str, Any]:
+        """Return selected attributes as a dictionary of native Python types."""
+        return {key: helpers.numpy_to_native(getattr(self, key)) for key in attributes}
+
+    def to_json(
+        self,
+        path: Union[str, Path] = None,
+        attributes: Iterable[str] = (
+            "xyz", "viewdir", "imgsz", "f", "c", "k", "p", "correction",
+        ),
+        **kwargs: Any,
+    ) -> Optional[str]:
+        """Write or return this camera as JSON. See :meth:`from_json` for the reverse."""
+        obj = self.to_dict(attributes=attributes)
+        return helpers.write_json(obj, path=path, **kwargs)
+
+    def idealize(self) -> None:
+        """Remove all distortions (zero :attr:`c`, :attr:`k`, :attr:`p`)."""
+        self.k = np.zeros(6, dtype=float)
+        self.p = np.zeros(2, dtype=float)
+        self.c = np.zeros(2, dtype=float)
+
+    def resize(self, size: Vector = 1, force: bool = False) -> None:
+        """Resize the camera, scaling :attr:`imgsz`, :attr:`f`, and :attr:`c`.
+
+        ``size`` is a scale factor of the *original* image size, or a target
+        (nx, ny). Non-aspect-preserving targets are rejected unless ``force``.
+        """
+        scale1d = np.atleast_1d(size)
+        original_size = self._original_vector[proj.IMGSZ]
+        if len(scale1d) > 1 and force:
+            new_size = scale1d
+        else:
+            if len(scale1d) > 1:
+                scale = helpers.get_scale_from_size(original_size, scale1d)
+                if scale is None:
+                    raise ValueError(
+                        "Target image size does not preserve the original aspect ratio"
+                    )
+                scale1d = scale
+            new_size = np.floor(scale1d * original_size + 0.5)
+        scale2d = new_size / self.imgsz
+        self.imgsz = np.round(new_size)
+        self.f = self.f * scale2d
+        self.c = self.c * scale2d
+
+    # ---- Projection ---- #
+
+    def xyz_to_uv(
+        self, xyz: np.ndarray, directions: bool = False, return_depth: bool = False
+    ) -> Union[np.ndarray, Tuple[np.ndarray, np.ndarray]]:
+        """Project world coordinates (n, 3) to image coordinates (n, 2).
+
+        ``directions=True`` treats inputs as ray directions relative to the
+        camera (skipping the position offset and elevation correction).
+        Points at or behind the camera plane map to NaN.
+        """
+        xyz = np.asarray(xyz, dtype=float)
+        return proj.project(
+            self._vector,
+            xyz,
+            directions=directions,
+            correction=None if directions else self._correction_tuple,
+            return_depth=return_depth,
+            xp=np,
+        )
+
+    def uv_to_xyz(
+        self, uv: np.ndarray, directions: bool = True, depth: Vector = 1
+    ) -> np.ndarray:
+        """Project image coordinates (n, 2) to world ray directions or coordinates."""
+        uv = np.asarray(uv, dtype=float)
+        return proj.unproject(
+            self._vector, uv, directions=directions, depth=depth,
+            method=self._undistort_method(), xp=np,
+        )
+
+    def _undistort_method(self) -> str:
+        """Pick the undistortion solver for this camera's coefficients.
+
+        Closed-form for k1-only (exact under extreme distortion), Oulu fixed
+        point otherwise; ``ops.projection.undistort`` makes the same choice
+        from concrete coefficients.
+        """
+        return "oulu"
+
+    def infront(self, xyz: np.ndarray, directions: bool = False) -> np.ndarray:
+        """Test whether world coordinates are in front of the camera."""
+        xyz = np.asarray(xyz, dtype=float)
+        return proj.infront(self._vector, xyz, directions=directions, xp=np)
+
+    def inframe(self, uv: np.ndarray) -> np.ndarray:
+        """Test whether image coordinates are in (or on) the image frame."""
+        uv = np.asarray(uv, dtype=float)
+        return proj.inframe(self._vector, uv, xp=np)
+
+    # ---- Image-plane geometry ---- #
+
+    def grid(
+        self, step: Vector = 1, snap: Iterable[float] = (0.5, 0.5), mode: str = "points"
+    ) -> Union[np.ndarray, Tuple[np.ndarray, np.ndarray]]:
+        """Return a grid of image coordinates covering the frame."""
+        box = (0, 0, self.imgsz[0], self.imgsz[1])
+        return helpers.box_to_grid(box, step=step, snap=snap, mode=mode)
+
+    def edges(self, step: Vector = 1) -> np.ndarray:
+        """Return coordinates of image edges, clockwise from the origin."""
+        if isinstance(step, (int, float)):
+            step = (step, step)
+        nu = self.imgsz[0] / step[0] + 1
+        nv = self.imgsz[1] / step[1] + 1
+        u = np.linspace(0, self.imgsz[0], int(nu))
+        v = np.linspace(0, self.imgsz[1], int(nv))
+        return np.vstack(
+            (
+                np.column_stack((u, np.repeat(0, len(u)))),
+                np.column_stack((np.repeat(u[-1], len(v) - 2), v[1:-1])),
+                np.column_stack((u[::-1], np.repeat(v[-1], len(u)))),
+                np.column_stack((np.repeat(0, len(v) - 2), v[::-1][1:-1])),
+            )
+        )
+
+    def viewbox(self, depth: Number) -> np.ndarray:
+        """Bounding box of the viewshed built from edge pixels projected to depth."""
+        uv = self.edges()
+        dxyz = self.uv_to_xyz(uv, depth=depth, directions=False)
+        vertices = np.vstack((self.xyz, dxyz))
+        return helpers.bounding_box(vertices)
+
+    def viewpoly(self, depth: Number) -> np.ndarray:
+        """Bounding polygon of the viewshed through the principal row."""
+        cy = self.imgsz[1] / 2 + self.c[1]
+        uv = np.array([(0, cy), (self.imgsz[0], cy)])
+        xyz = self.uv_to_xyz(uv, directions=False, depth=depth)
+        return np.vstack([self.xyz, xyz, self.xyz])
+
+    def rasterize(self, uv: np.ndarray, values: np.ndarray) -> np.ndarray:
+        """Convert image points to a raster of per-pixel mean values (NaN empty)."""
+        mask = self.inframe(uv)
+        a = np.full((self.imgsz[1], self.imgsz[0]), np.nan)
+        helpers.rasterize_points(
+            uv[mask, 1].astype(int), uv[mask, 0].astype(int), values[mask], a=a
+        )
+        return a
+
+    def spherical_to_xyz(self, angles: np.ndarray) -> np.ndarray:
+        """Convert spherical coordinates (azimuth, altitude[, distance]) to world."""
+        angles = np.asarray(angles, dtype=float)
+        return proj.spherical_to_xyz(self.xyz, angles, xp=np)
+
+    def xyz_to_spherical(self, xyz: np.ndarray, directions: bool = False) -> np.ndarray:
+        """Convert world coordinates to spherical (azimuth, altitude[, distance])."""
+        xyz = np.asarray(xyz, dtype=float)
+        return proj.xyz_to_spherical(self.xyz, xyz, directions=directions, xp=np)
+
+    # ---- Distortion (private API parity) ---- #
+
+    def _distort(self, xy: np.ndarray) -> np.ndarray:
+        return proj.distort(np.asarray(xy, dtype=float), self.k, self.p, xp=np)
+
+    def _undistort(self, xy: np.ndarray, method: str = "oulu", **kwargs: Any):
+        return proj.undistort(
+            np.asarray(xy, dtype=float), self.k, self.p, method=method, xp=np, **kwargs
+        )
+
+    def _xyz_to_xy(
+        self, xyz: np.ndarray, directions: bool = False, return_depth: bool = False
+    ):
+        return proj.world_to_camera(
+            np.asarray(xyz, dtype=float),
+            self.xyz,
+            self.R,
+            directions=directions,
+            correction=None if directions else self._correction_tuple,
+            return_depth=return_depth,
+            xp=np,
+        )
+
+    def _xy_to_uv(self, xy: np.ndarray) -> np.ndarray:
+        return proj.camera_to_image(
+            np.asarray(xy, dtype=float), self._vector[proj.IMGSZ], self.f, self.c,
+            self.k, self.p, xp=np,
+        )
+
+    def _uv_to_xy(self, uv: np.ndarray) -> np.ndarray:
+        return proj.image_to_camera(
+            np.asarray(uv, dtype=float), self._vector[proj.IMGSZ], self.f, self.c,
+            self.k, self.p, method=self._undistort_method(), xp=np,
+        )
+
+    def _xy_to_xyz(self, xy: np.ndarray, directions: bool = True, depth: Vector = 1):
+        return proj.camera_to_world(
+            np.asarray(xy, dtype=float), self.R, cam_xyz=self.xyz,
+            directions=directions, depth=depth, xp=np,
+        )
+
+    def reversible(self) -> bool:
+        """Test whether distorted image coordinates increase monotonically."""
+        xy_row = np.column_stack(
+            (
+                np.linspace(
+                    -self.imgsz[0] / (2 * self.f[0]),
+                    self.imgsz[0] / (2 * self.f[0]),
+                    int(self.imgsz[0]),
+                ),
+                np.zeros(int(self.imgsz[0])),
+            )
+        )
+        dxy = self._distort(xy_row)
+        continuous_row = bool(np.all(dxy[1:, 0] >= dxy[:-1, 0]))
+        xy_col = np.column_stack(
+            (
+                np.zeros(int(self.imgsz[1])),
+                np.linspace(
+                    -self.imgsz[1] / (2 * self.f[1]),
+                    self.imgsz[1] / (2 * self.f[1]),
+                    int(self.imgsz[1]),
+                ),
+            )
+        )
+        dxy = self._distort(xy_col)
+        continuous_col = bool(np.all(dxy[1:, 1] >= dxy[:-1, 1]))
+        return continuous_row and continuous_col
+
+    def project_dem(
+        self,
+        dem,
+        values: np.ndarray = None,
+        mask: np.ndarray = None,
+        tile_size: Iterable[int] = (256, 256),
+        tile_overlap: Iterable[int] = (1, 1),
+        scale: Number = 1,
+        scale_limits: Iterable[Number] = (1, 1),
+        parallel: Union[bool, int] = False,
+        return_depth: bool = False,
+    ) -> np.ndarray:
+        """Render a simulated image from a DEM (see :mod:`glimpse_tpu.render`).
+
+        Implemented in :func:`glimpse_tpu.render.project_dem`; kept as a
+        method for reference API parity (camera.py:967-1129).
+        """
+        from .render import project_dem
+
+        return project_dem(
+            self, dem, values=values, mask=mask, tile_size=tile_size,
+            tile_overlap=tile_overlap, scale=scale, scale_limits=scale_limits,
+            parallel=parallel, return_depth=return_depth,
+        )

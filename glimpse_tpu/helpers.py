@@ -1,0 +1,808 @@
+"""Host-side helpers: serialization, formatting, boxes, geometry, statistics, time.
+
+Functional parity targets (reference: ``/root/reference/src/glimpse/helpers.py``):
+serialization (helpers.py:210-320), array statistics (helpers.py:324-520),
+uncertainty propagation (helpers.py:523-610), computational geometry
+(helpers.py:835-1320), box algebra (helpers.py:1264-1616), scatter/gather
+(helpers.py:1617-1698), physics (helpers.py:1771-1790), and time utilities
+(helpers.py:1831-1980). The hot-path equivalents of the statistics and
+scatter functions live as pure-JAX ops in :mod:`glimpse_tpu.ops` for use on
+TPU; the versions here are NumPy reference implementations used by the
+host-side object API and as golden values in tests.
+"""
+import datetime
+import gzip
+import json
+import os
+import pickle
+import re
+import warnings
+from pathlib import Path
+from typing import Any, Iterable, List, Match, Optional, Tuple, Union
+
+import numpy as np
+import scipy.ndimage
+import scipy.spatial.distance
+
+Number = Union[int, float]
+
+
+# ---- Formatting ---- #
+
+
+def format_list(
+    x: Any, length: int = None, default: Any = None, dtype: type = None
+) -> list:
+    """Coerce a scalar or iterable to a list of a given length.
+
+    If the input is shorter than ``length``, it is padded with ``default``
+    (if given) or repeated (if ``length`` is a multiple of the input length).
+    """
+    if x is None:
+        raise ValueError("Input cannot be None")
+    if not np.iterable(x):
+        x = [x]
+    elif not isinstance(x, list):
+        x = list(x)
+    if length:
+        n = len(x)
+        if n > length:
+            x = x[:length]
+        elif n < length:
+            if default is not None:
+                x = x + [default] * (length - n)
+            elif n > 0:
+                if length % n != 0:
+                    raise ValueError("Output length is not multiple of input length")
+                x = x * (length // n)
+    if dtype:
+        x = [dtype(i) for i in x]
+    return x
+
+
+def numpy_dtype_minmax(dtype: np.dtype) -> Tuple[Any, Any]:
+    """Return the (min, max) representable values for a numpy dtype."""
+    if issubclass(dtype.type, np.floating):
+        info = np.finfo(dtype)
+        return info.min, info.max
+    if issubclass(dtype.type, np.integer):
+        info = np.iinfo(dtype)
+        return info.min, info.max
+    if dtype.type is np.bool_:
+        return False, True
+    raise ValueError(f"Cannot determine min, max for {dtype}")
+
+
+def numpy_to_native(x: Any) -> Any:
+    """Convert numpy scalars/arrays to native Python types (lists)."""
+    return getattr(x, "tolist", lambda: x)()
+
+
+def strip_path(path: Union[str, Path], extensions: Union[bool, int] = True) -> str:
+    """Return the final path component with extensions removed."""
+    basename = Path(path).name
+    if extensions:
+        if extensions is True:
+            extensions = -1
+        return basename[::-1].split(".", maxsplit=extensions)[-1][::-1]
+    return basename
+
+
+def get_scale_from_size(old: Iterable[int], new: Iterable[int]) -> Optional[float]:
+    """Return the scale factor mapping integer size `old` to `new`, if it exists."""
+    old = np.atleast_1d(old)
+    new = np.atleast_1d(new)
+    if len(old) != len(new):
+        n = max(len(old), len(new))
+        old, new = np.resize(old, n), np.resize(new, n)
+    if np.array_equal(new, old):
+        return 1.0
+    initial = new / old
+    if np.all(initial[0] == initial):
+        return float(initial[0])
+    # Search for a scale whose rounded product hits the target exactly.
+    lo, hi = float(np.floor(initial.min())), float(np.ceil(initial.max()))
+    # Dense scan is robust and fast at these sizes (integer image dimensions).
+    candidates = np.unique(np.concatenate([np.linspace(lo, hi, 20001), initial]))
+    err = np.abs(np.round(candidates[:, None] * old) - new).sum(axis=1)
+    hits = np.nonzero(err == 0)[0]
+    if hits.size:
+        return float(candidates[hits[0]])
+    return None
+
+
+# ---- Sorted search ---- #
+
+
+def _sorted_neighbors(x: Iterable, y: Iterable) -> np.ndarray:
+    """Return left/right neighbor indices (in ascending `x`) for each value in `y`."""
+    x = np.asarray(x)
+    index = np.searchsorted(x, y)
+    index[(index > 0) & (index < len(x))] -= 1
+    index[index == len(x)] -= 2
+    return np.column_stack((index, index + 1))
+
+
+def sorted_nearest(x: Iterable, y: Iterable) -> np.ndarray:
+    """Return index of the nearest value in ascending `x` for each value in `y`."""
+    x, y = np.asarray(x), np.asarray(y)
+    neighbors = _sorted_neighbors(x, y)
+    nearest = np.argmin(np.abs(y.reshape(-1, 1) - x[neighbors]), axis=1)
+    return neighbors[range(len(y)), nearest]
+
+
+# ---- Pickle / JSON ---- #
+
+
+def write_pickle(
+    obj: Any, path: Union[str, Path], gz: bool = False, binary: bool = True, **kwargs: Any
+) -> None:
+    """Write an object to a (optionally gzipped) pickle file."""
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    mode = "wb" if binary else "w"
+    opener = gzip.open if gz else open
+    with opener(path, mode=mode) as fp:
+        pickle.dump(obj, fp, **kwargs)
+
+
+def read_pickle(
+    path: Union[str, Path], gz: bool = False, binary: bool = True, **kwargs: Any
+) -> Any:
+    """Read an object from a (optionally gzipped) pickle file."""
+    mode = "rb" if binary else "r"
+    opener = gzip.open if gz else open
+    with opener(path, mode=mode) as fp:
+        return pickle.load(fp, **kwargs)
+
+
+def read_json(path: Union[str, Path], **kwargs: Any) -> Union[dict, list]:
+    """Read JSON from a file."""
+    with open(path, mode="r") as fp:
+        return json.load(fp, **kwargs)
+
+
+def write_json(
+    obj: Union[dict, list],
+    path: Union[str, Path] = None,
+    flat_arrays: bool = False,
+    **kwargs: Any,
+) -> Optional[str]:
+    """Write an object to JSON (file or returned string).
+
+    With ``flat_arrays=True`` and an ``indent``, arrays are squeezed onto a
+    single line each.
+    """
+    txt = json.dumps(obj, **kwargs)
+    if flat_arrays and kwargs.get("indent") is not None and kwargs.get("indent") >= 0:
+        separators = kwargs.get("separators")
+        sep = separators[0] if separators else ", "
+        squished = re.sub(r"\s", "", sep)
+
+        def flatten(match: Match) -> str:
+            return re.sub(squished, sep, re.sub(r"\s", "", match.group(0)))
+
+        txt = re.sub(r"(\[\s*)+[^\]\{]*(\s*\])+", flatten, txt)
+    if path:
+        path = Path(path)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        path.write_text(txt)
+        return None
+    return txt
+
+
+# ---- Array statistics ---- #
+
+
+def normalize(a: np.ndarray) -> np.ndarray:
+    """Normalize array to mean 0, variance 1."""
+    return (a - a.mean()) * (1 / a.std())
+
+
+def gaussian_filter(
+    a: np.ndarray, mask: np.ndarray = None, fill: bool = False, **kwargs: Any
+) -> np.ndarray:
+    """Gaussian filter with optional mask of cells to include.
+
+    Masked filtering follows the normalized-convolution identity: filter the
+    zero-filled array and divide by the filtered indicator.
+    """
+    if mask is None:
+        return scipy.ndimage.gaussian_filter(a, **kwargs)
+    x = a.copy()
+    x[~mask] = 0
+    xf = scipy.ndimage.gaussian_filter(x, **kwargs)
+    x[mask] = 1
+    xf_sum = scipy.ndimage.gaussian_filter(x, **kwargs)
+    x = xf / xf_sum
+    if not fill:
+        x[~mask] = a[~mask]
+    return x
+
+
+def maximum_filter(
+    a: np.ndarray, mask: np.ndarray = None, fill: bool = False, **kwargs: Any
+) -> np.ndarray:
+    """Maximum filter with optional mask of cells to include."""
+    if mask is None:
+        return scipy.ndimage.maximum_filter(a, **kwargs)
+    dtype_min = numpy_dtype_minmax(a.dtype)[0]
+    x = a.copy()
+    excluded = ~mask
+    x[excluded] = dtype_min
+    x = scipy.ndimage.maximum_filter(x, **kwargs)
+    if fill:
+        excluded = x == dtype_min
+    x[excluded] = a[excluded]
+    return x
+
+
+def compute_cdf(
+    a: np.ndarray, return_inverse: bool = False
+) -> Union[Tuple[np.ndarray, np.ndarray], Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Return (unique values, quantiles) CDF of an array."""
+    results = np.unique(a, return_inverse=return_inverse, return_counts=True)
+    quantiles = np.cumsum(results[-1]) / a.size
+    if return_inverse:
+        return results[0], quantiles, results[1]
+    return results[0], quantiles
+
+
+def match_cdf(
+    a: np.ndarray, cdf: Union[Tuple[Iterable, Iterable], np.ndarray]
+) -> np.ndarray:
+    """Transform array values to match a target CDF (histogram matching)."""
+    _, quantiles, inverse = compute_cdf(a, return_inverse=True)
+    if isinstance(cdf, np.ndarray):
+        cdf = compute_cdf(cdf, return_inverse=False)
+    values = np.interp(quantiles, cdf[1], cdf[0])
+    return values[inverse].reshape(a.shape)
+
+
+def _numpy_dropdims(a: np.ndarray, axis: int = None, keepdims: bool = False) -> Any:
+    a = np.asarray(a)
+    if keepdims:
+        return a
+    if axis is None and a.size == 1:
+        return a.item()
+    if axis is not None and a.shape[axis] == 1:
+        return a.squeeze(axis=axis)
+    return a
+
+
+def sum_normals(
+    means: np.ndarray,
+    sigmas: np.ndarray,
+    weights: np.ndarray = None,
+    normalize: bool = False,
+    correlation: float = 0,
+    axis: int = None,
+    keepdims: bool = False,
+    ignore_nan: bool = False,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Mean and sigma of a (weighted) sum of normal random variables.
+
+    Standard linear error propagation with an assumed uniform pairwise
+    correlation. Used for merging forward/backward tracking runs
+    (correlation=0) and time-averaging velocities (correlation=1).
+    """
+    isnan = np.isnan(means)
+    if np.any(isnan != np.isnan(sigmas)):
+        raise ValueError("Means and sigmas have missing values at different indices")
+    if np.any(sigmas == 0):
+        raise ValueError("Sigmas cannot be zero")
+    if weights is None:
+        weights = np.ones(means.shape)
+    if normalize:
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            weights = weights * (
+                1 / np.nansum(weights * ~isnan, axis=axis, keepdims=True)
+            )
+    wmeans = np.nansum(weights * means, axis=axis, keepdims=True)
+    variances = np.nansum(weights ** 2 * sigmas ** 2, axis=axis, keepdims=True)
+    if ignore_nan:
+        mask = isnan.all(axis=axis, keepdims=True)
+    else:
+        mask = isnan.any(axis=axis, keepdims=True)
+    wmeans[mask] = np.nan
+    variances[mask] = np.nan
+    if correlation:
+        n = means.size if axis is None else means.shape[axis]
+        pairs = np.triu_indices(n=n, k=1)
+        variances += 2 * np.nansum(
+            correlation
+            * np.take(weights, pairs[0], axis=axis)
+            * np.take(weights, pairs[1], axis=axis)
+            * np.take(sigmas, pairs[0], axis=axis)
+            * np.take(sigmas, pairs[1], axis=axis),
+            axis=axis,
+            keepdims=True,
+        )
+    return (
+        _numpy_dropdims(wmeans, axis=axis, keepdims=keepdims),
+        _numpy_dropdims(np.sqrt(variances), axis=axis, keepdims=keepdims),
+    )
+
+
+# ---- Geometry ---- #
+
+
+def boolean_split(
+    a: np.ndarray,
+    mask: np.ndarray,
+    axis: int = 0,
+    circular: bool = False,
+    include: str = "all",
+) -> List[np.ndarray]:
+    """Split an array into runs of contiguous True/False mask values."""
+    cuts = np.nonzero(mask[1:] != mask[:-1])[0] + 1
+    splits = np.split(a, cuts, axis=axis)
+    if circular and len(splits) > 1 and bool(mask[0]) == bool(mask[-1]):
+        splits[0] = np.concatenate((splits[-1], splits[0]), axis=axis)
+        splits.pop(-1)
+    if include == "all":
+        return splits
+    if include == "true":
+        return splits[slice(0, None, 2) if mask[0] else slice(1, None, 2)]
+    if include == "false":
+        return splits[slice(1, None, 2) if mask[0] else slice(0, None, 2)]
+    return []
+
+
+def unravel_box(box: Iterable) -> np.ndarray:
+    """Return box (xmin, ..., xmax, ...) as a 2-row array [(mins), (maxs)]."""
+    box = np.asarray(box)
+    if box.size % 2 != 0:
+        raise ValueError("Box length is not divisible by 2")
+    return box.reshape(-1, box.size // 2)
+
+
+def bounding_box(points: Iterable[Iterable]) -> np.ndarray:
+    """Return bounding box [xmin, ..., xmax, ...] of points."""
+    points = np.asarray(points)
+    return np.hstack((np.min(points, axis=0), np.max(points, axis=0)))
+
+
+def box_to_polygon(box: Iterable) -> np.ndarray:
+    """Return 2-D box as closed polygon vertices (5, 2)."""
+    box = unravel_box(box)
+    return np.column_stack((box[(0, 0, 1, 1, 0), 0], box[(0, 1, 1, 0, 0), 1]))
+
+
+def in_box(points: np.ndarray, box: Iterable) -> np.ndarray:
+    """Test whether points are in (or on) a box."""
+    box = unravel_box(box)
+    return np.all((points >= box[0, :]) & (points <= box[1, :]), axis=1)
+
+
+def intersect_boxes(boxes: Iterable[Iterable]) -> np.ndarray:
+    """Return the intersection of boxes (xmin, ..., xmax, ...)."""
+    boxes = np.asarray(boxes)
+    if boxes.shape[1] % 2 != 0:
+        raise ValueError("Box lengths are not divisible by 2")
+    ndim = boxes.shape[1] // 2
+    boxmin = np.nanmax(boxes[:, 0:ndim], axis=0)
+    boxmax = np.nanmin(boxes[:, ndim:], axis=0)
+    if any(boxmax - boxmin <= 0):
+        raise ValueError("Boxes do not intersect")
+    return np.hstack((boxmin, boxmax))
+
+
+def box_to_grid(
+    box: Iterable,
+    step: Union[float, Iterable[float]],
+    snap: Iterable = None,
+    mode: str = "grids",
+) -> Union[np.ndarray, Tuple[np.ndarray, ...]]:
+    """Return a grid of points inside a box, optionally aligned to a snap point."""
+    box = unravel_box(box)
+    ndim = box.shape[1]
+    step = step if np.iterable(step) else (step,) * ndim
+    if snap is None:
+        snap = box[0, :]
+    shift = (snap - box[0, :]) % step
+    n = (np.diff(box, axis=0).ravel() - shift) // step
+    arrays = (
+        np.linspace(
+            box[0, i] + shift[i], box[0, i] + shift[i] + n[i] * step[i], int(n[i]) + 1
+        )
+        for i in range(ndim)
+    )
+    if mode == "vectors":
+        return tuple(arrays)
+    grid = tuple(np.meshgrid(*arrays))
+    if mode == "grids":
+        return grid
+    if mode == "points":
+        return grid_to_points(grid)
+    raise ValueError(f"Unsupported mode: {mode}")
+
+
+def grid_to_points(grid: Iterable[np.ndarray]) -> np.ndarray:
+    """Return meshgrid coordinate arrays as point rows."""
+    grid = tuple(grid)
+    return np.reshape(grid, (len(grid), -1)).T
+
+
+def clip_polyline_box(
+    line: np.ndarray, box: Iterable, t: bool = False
+) -> List[np.ndarray]:
+    """Return segments of a polyline within a box, inserting boundary vertices."""
+    cols = slice(None, -1) if t else slice(None)
+    mask = in_box(line[:, cols], box)
+    segments = boolean_split(line, mask)
+    trues = slice(int(not mask[0]), None, 2)
+    nsegments = len(segments)
+    for i in range(*trues.indices(nsegments)):
+        if i > 0:
+            origin = segments[i - 1][-1, :]
+            distance = segments[i][0, :] - origin
+            ti = intersect_edge_box(origin[cols], distance[cols], box)
+            if ti is not None:
+                segments[i] = np.vstack((origin + ti * distance, segments[i]))
+        if i < nsegments - 1:
+            origin = segments[i][-1, :]
+            distance = segments[i + 1][0, :] - origin
+            ti = intersect_edge_box(origin[cols], distance[cols], box)
+            if ti is not None:
+                segments[i] = np.vstack((segments[i], origin + ti * distance))
+    return segments[trues]
+
+
+def intersect_edge_box(
+    origin: Iterable, distance: Iterable, box: Iterable
+) -> Optional[float]:
+    """Return multiple of `distance` at which an edge crosses into a box."""
+    distance = np.asarray(distance).reshape(1, -1)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        t = np.nanmin(intersect_rays_box(origin, distance, box, t=True))
+    if 0 < t < 1:
+        return float(t)
+    return None
+
+
+def intersect_rays_box(
+    origin: Iterable, directions: np.ndarray, box: Iterable, t: bool = False
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Intersect rays from a common origin with an axis-aligned 2-D/3-D box.
+
+    Slab method. Returns ray entrances and exits (NaN on miss, entrance NaN if
+    origin inside box), as absolute coordinates or as multiples of direction.
+    """
+    origin = np.asarray(origin, dtype=float)
+    directions = np.atleast_2d(np.asarray(directions, dtype=float))
+    box = unravel_box(box).astype(float)  # (2, ndim): [mins; maxs]
+    ndim = directions.shape[1]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        invdir = 1 / directions
+    sign = (invdir < 0).astype(int)  # 0: min slab first, 1: max slab first
+    # Per-dimension slab entry/exit times: bounds[sign, dim] and bounds[1-sign, dim]
+    tmins = (box[sign, np.arange(ndim)] - origin[:ndim]) * invdir
+    tmaxs = (box[1 - sign, np.arange(ndim)] - origin[:ndim]) * invdir
+    tmin = tmins[:, 0].copy()
+    tmax = tmaxs[:, 0].copy()
+    for d in range(1, ndim):
+        misses = (tmin > tmaxs[:, d]) | (tmins[:, d] > tmax)
+        tmin[misses] = np.nan
+        tmax[misses] = np.nan
+        closer = tmins[:, d] > tmin
+        tmin[closer] = tmins[closer, d]
+        farther = tmaxs[:, d] < tmax
+        tmax[farther] = tmaxs[farther, d]
+    tmin[tmin < 0] = np.nan
+    tmax[tmax < 0] = np.nan
+    if t:
+        return tmin[:, None], tmax[:, None]
+    return origin + tmin[:, None] * directions, origin + tmax[:, None] * directions
+
+
+def intersect_ray_planes(ray: Iterable, planes: Iterable) -> np.ndarray:
+    """Intersect one ray with many planes (NaN for parallel/behind)."""
+    ray = np.asarray(ray, dtype=float)
+    planes = np.atleast_2d(planes).astype(float)
+    points = np.full((planes.shape[0], 3), np.nan)
+    normals = np.cross(planes[:, 3:6], planes[:, 6:9])
+    dots = (ray[3:6] * normals).sum(axis=1)
+    mask = np.abs(dots) > 1e-14
+    shifts = planes[mask, :3] - ray[:3]
+    tvals = (normals[mask] * shifts).sum(axis=1) / dots[mask]
+    infront = tvals >= 0
+    mask[mask] &= infront
+    points[mask] = ray[:3] + tvals[infront, None] * ray[3:6]
+    return points
+
+
+def intersect_rays_plane(rays: Iterable, plane: Iterable) -> np.ndarray:
+    """Intersect many rays with one plane (NaN for parallel/behind)."""
+    rays = np.atleast_2d(rays).astype(float)
+    plane = np.asarray(plane, dtype=float)
+    points = np.full((rays.shape[0], 3), np.nan)
+    normal = np.cross(plane[3:6], plane[6:9])
+    dots = (normal * rays[:, 3:6]).sum(axis=1)
+    mask = np.abs(dots) > 1e-14
+    shifts = plane[:3] - rays[mask, :3]
+    tvals = (normal * shifts).sum(axis=1) / dots[mask]
+    infront = tvals >= 0
+    mask[mask] &= infront
+    points[mask] = rays[mask, :3] + tvals[infront, None] * rays[mask, 3:6]
+    return points
+
+
+def bresenham_line(start: Iterable[int], end: Iterable[int]) -> np.ndarray:
+    """Return grid indices along a line (Bresenham), fully vectorized.
+
+    Matches the classic run-length algorithm: exactly max(|dx|, |dy|) + 1
+    cells, stepping the minor axis when the accumulated error crosses zero.
+    """
+    x1, y1 = int(start[0]), int(start[1])
+    x2, y2 = int(end[0]), int(end[1])
+    steep = abs(y2 - y1) > abs(x2 - x1)
+    if steep:
+        x1, y1, x2, y2 = y1, x1, y2, x2
+    swapped = x1 > x2
+    if swapped:
+        x1, x2, y1, y2 = x2, x1, y2, y1
+    dx = x2 - x1
+    abs_dy = abs(y2 - y1)
+    ystep = 1 if y1 < y2 else -1
+    xs = np.arange(x1, x2 + 1)
+    if dx == 0:
+        ys = np.array([y1])
+    else:
+        # error after k steps: e_k = floor(dx/2) - k*abs_dy; y increments when e < 0.
+        k = np.arange(dx + 1)
+        increments = (k * abs_dy - int(dx / 2) + dx - 1) // dx
+        increments = np.maximum(increments, 0)
+        ys = y1 + ystep * increments
+    points = np.column_stack((ys, xs) if steep else (xs, ys))
+    if swapped:
+        points = points[::-1]
+    return points
+
+
+def bresenham_circle(center: Iterable[Number], radius: float) -> np.ndarray:
+    """Return grid indices along a circle (midpoint algorithm), ordered CW."""
+    x0, y0 = center
+    octant_size = int(np.floor((np.sqrt(2) * (radius - 1) + 4) / 2))
+    n_points = 8 * octant_size
+    x, y = 0, radius
+    f = 1 - radius
+    dx, dy = 1, -2 * radius
+    xy = np.full((n_points, 2), np.nan)
+    xy[0] = [x0 + x, y0 + y]
+    xy[8 * octant_size - 1] = [x0 - x, y0 + y]
+    xy[4 * octant_size - 1] = [x0 + x, y0 - y]
+    xy[4 * octant_size] = [x0 - x, y0 - y]
+    xy[2 * octant_size - 1] = [x0 + y, y0 + x]
+    xy[6 * octant_size] = [x0 - y, y0 + x]
+    xy[2 * octant_size] = [x0 + y, y0 - x]
+    xy[6 * octant_size - 1] = [x0 - y, y0 - x]
+    for i in range(2, octant_size + 1):
+        if f > 0:
+            y -= 1
+            dy += 2
+            f += dy
+        x += 1
+        dx += 2
+        f += dx
+        xy[i - 1] = [x0 + x, y0 + y]
+        xy[8 * octant_size - i] = [x0 - x, y0 + y]
+        xy[4 * octant_size - i] = [x0 + x, y0 - y]
+        xy[4 * octant_size + i - 1] = [x0 - x, y0 - y]
+        xy[2 * octant_size - i] = [x0 + y, y0 + x]
+        xy[6 * octant_size + i - 1] = [x0 - y, y0 + x]
+        xy[2 * octant_size + i - 1] = [x0 + y, y0 - x]
+        xy[6 * octant_size - i] = [x0 - y, y0 - x]
+    unique = [True] + (np.diff(xy, axis=0) != 0).any(axis=1).tolist()
+    return xy[unique]
+
+
+def pairwise_distance(x: Iterable, y: Iterable, **kwargs: Any) -> np.ndarray:
+    """Pairwise distances between two sets of points."""
+    x, y = np.asarray(x), np.asarray(y)
+    return scipy.spatial.distance.cdist(
+        x if x.ndim > 1 else x.reshape(-1, 1),
+        y if y.ndim > 1 else y.reshape(-1, 1),
+        **kwargs,
+    )
+
+
+def interpolate_line(
+    vertices: np.ndarray,
+    x: Iterable = None,
+    xi: Iterable = None,
+    n: int = None,
+    dx: float = None,
+    error: bool = True,
+    fill: Any = "endpoints",
+) -> np.ndarray:
+    """Return points at specified (or evenly spaced) distances along a polyline."""
+    if xi is None and n is None and dx is None:
+        raise ValueError("One of xi, n, or dx is required")
+    if x is None:
+        x = np.cumsum(np.sqrt(np.sum(np.diff(vertices, axis=0) ** 2, axis=1)))
+        x = np.insert(x, 0, 0)
+    else:
+        x = np.asarray(x)
+    if xi is None:
+        if n is None:
+            n = abs((x[-1] - x[0]) / dx)
+            if n == int(n):
+                n += 1
+            n = int(round(n))
+        xi = np.linspace(start=x[0], stop=x[-1], num=n, endpoint=True)
+        error = False
+        fill = "endpoints"
+    if len(x) > 1 and x[1] < x[0]:
+        order = np.argsort(x)
+        x = x[order]
+        vertices = vertices[order, :]
+    result = np.column_stack(
+        [np.interp(xi, x, vertices[:, i]) for i in range(vertices.shape[1])]
+    )
+    if fill == "endpoints":
+        if error is False:
+            return result
+        fill = (vertices[0], vertices[-1])
+    if not np.iterable(fill):
+        fill = (fill, fill)
+    left = np.less(xi, x[0])
+    right = np.greater(xi, x[-1])
+    if x[0] > x[-1]:
+        right, left = left, right
+    if error and (left.any() or right.any()):
+        raise ValueError("Requested distance outside range")
+    result[left, :] = fill[0]
+    result[right, :] = fill[1]
+    return result
+
+
+# ---- Scatter / gather ---- #
+
+
+def rasterize_points(
+    rows: Iterable[int],
+    cols: Iterable[int],
+    values: Iterable,
+    shape: Iterable[int] = None,
+    a: np.ndarray = None,
+) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Scatter points into raster cells, averaging values landing in a cell."""
+    values = np.asarray(values)
+    if shape is None:
+        shape = a.shape
+    idx = np.ravel_multi_index((rows, cols), shape[0:2])
+    uidx, labels = np.unique(idx, return_inverse=True)
+    counts = np.bincount(labels)
+    if values.ndim == 1 or (a is not None and values.shape[1] == 1):
+        sums = np.bincount(labels, weights=values.ravel())
+    else:
+        sums = np.column_stack(
+            [np.bincount(labels, weights=values[:, i]) for i in range(values.shape[1])]
+        )
+        counts = counts.reshape(-1, 1)
+    means = sums * (1 / counts)
+    if a is None:
+        return uidx, means
+    if means.ndim == 1:
+        a.flat[uidx] = means
+    else:
+        ij = np.unravel_index(uidx, shape[0:2])
+        a[ij] = means
+    return None
+
+
+def polygons_to_mask(
+    polygons: Iterable[Iterable[Iterable[Number]]],
+    size: Iterable[int],
+    holes: Iterable[Iterable[Iterable[Number]]] = None,
+) -> np.ndarray:
+    """Return boolean mask of grid cells inside polygons (GDAL-free).
+
+    Matches GDAL's all-touched=False convention: a cell is burned if its
+    center is inside the polygon.
+    """
+    import matplotlib.path
+
+    nx, ny = int(size[0]), int(size[1])
+    xs = np.arange(nx) + 0.5
+    ys = np.arange(ny) + 0.5
+    X, Y = np.meshgrid(xs, ys)
+    pts = np.column_stack((X.ravel(), Y.ravel()))
+    mask = np.zeros(nx * ny, dtype=bool)
+    for polygon in polygons:
+        path = matplotlib.path.Path(np.asarray(polygon, dtype=float))
+        mask |= path.contains_points(pts)
+    if holes:
+        for polygon in holes:
+            path = matplotlib.path.Path(np.asarray(polygon, dtype=float))
+            mask &= ~path.contains_points(pts)
+    return mask.reshape(ny, nx)
+
+
+# ---- Physics ---- #
+
+
+def elevation_corrections(
+    squared_distances: Iterable, radius: float = 6.3781e6, refraction: float = 0.13
+) -> np.ndarray:
+    """Elevation corrections for earth curvature and atmospheric refraction."""
+    return (refraction - 1) * np.asarray(squared_distances) / (2 * radius)
+
+
+# ---- Time ---- #
+
+
+def pairwise_distance_datetimes(
+    x: Iterable[datetime.datetime], y: Iterable[datetime.datetime]
+) -> np.ndarray:
+    """Pairwise absolute distances in seconds between two sets of datetimes."""
+    xs = np.array([xi.timestamp() for xi in x])
+    ys = np.array([yi.timestamp() for yi in y])
+    return np.abs(xs[:, None] - ys[None, :])
+
+
+def datetime_range(
+    start: datetime.datetime, stop: datetime.datetime, step: datetime.timedelta
+) -> List[datetime.datetime]:
+    """Evenly spaced datetimes in [start, stop]."""
+    max_steps = (stop - start) // step
+    return [start + n * step for n in range(max_steps + 1)]
+
+
+def select_datetimes(
+    datetimes: Iterable[datetime.datetime],
+    start: datetime.datetime = None,
+    end: datetime.datetime = None,
+    snap: datetime.timedelta = None,
+    maxdt: datetime.timedelta = None,
+    origin: datetime.datetime = datetime.datetime(1970, 1, 1, 0, 0, 0),
+) -> np.ndarray:
+    """Boolean mask of datetimes within [start, end], optionally snapped to a grid."""
+    datetimes = np.asarray(datetimes)
+    selected = np.ones(datetimes.shape, dtype=bool)
+    if start:
+        selected &= datetimes >= start
+    else:
+        start = datetimes[0]
+        if snap:
+            start -= snap
+    if end:
+        selected &= datetimes <= end
+    else:
+        end = datetimes[-1]
+        if snap:
+            end += snap
+    if start > end:
+        raise ValueError("Start datetime is after end datetime")
+    if snap:
+        shift = (origin - start) % snap
+        start = start + shift
+        targets = datetime_range(start, end, step=snap)
+        nearest = sorted_nearest(datetimes, targets)
+        if maxdt is None:
+            maxdt = snap * 0.5
+        distances = np.abs(targets - datetimes[nearest])
+        nearest = np.unique(nearest[distances <= maxdt])
+        temp = np.zeros(datetimes.shape, dtype=bool)
+        temp[nearest] = True
+        selected &= temp
+    return selected
+
+
+# ---- Internal ---- #
+
+
+def _parse_parallel(parallel: Union[int, bool]) -> int:
+    """Parse a bool/int parallelism argument into a worker count."""
+    if parallel is True:
+        n = os.cpu_count()
+        if n is None:
+            raise NotImplementedError("Cannot determine number of CPUs")
+    elif parallel is False:
+        n = 0
+    else:
+        n = int(parallel)
+    return n

@@ -1,0 +1,199 @@
+"""Grid interpolation ops: nearest, bilinear, and exact cubic B-spline.
+
+These replace the reference's SciPy interpolants on the device path:
+
+- ``RegularGridInterpolator`` (order 0/1 point sampling,
+  ``/root/reference/src/glimpse/raster.py:891-1027``) -> :func:`sample_grid`
+  with ``order`` 0 or 1.
+- ``RectBivariateSpline`` (kx=ky=3 tile/SSE-surface sampling,
+  ``observer.py:178-214``, ``tracker.py:620-624``) -> :func:`sample_grid`
+  with ``order=3``: an exact interpolating cubic B-spline. The spline
+  coefficients solve a dense prefilter system (small, static tile sizes ->
+  a single MXU matmul per axis), with *natural* (second-derivative-free)
+  boundary conditions. This interpolates the grid values exactly, like
+  scipy's spline; between knots it differs from RectBivariateSpline's
+  not-a-knot boundary only near the tile edge (difference decays
+  geometrically with distance from the boundary).
+
+All functions operate in *index space*: coordinate ``i`` refers to grid node
+``values[..., i]``; callers map world/image coordinates into index space.
+Dual backend: ``xp=numpy`` or ``xp=jax.numpy``.
+"""
+import functools
+from typing import Optional, Tuple
+
+import numpy as np
+
+__all__ = [
+    "nearest_sample",
+    "bilinear_sample",
+    "bspline_prefilter_matrix",
+    "bspline_prefilter_2d",
+    "bspline_sample",
+    "sample_grid",
+]
+
+
+def _clip(i, lo, hi, xp):
+    return xp.clip(i, lo, hi)
+
+
+def nearest_sample(values, rows, cols, xp=np):
+    """Sample a 2-D grid (..., H, W) at fractional indices, nearest neighbor."""
+    H, W = values.shape[-2], values.shape[-1]
+    r = _clip(xp.round(rows).astype(int), 0, H - 1, xp)
+    c = _clip(xp.round(cols).astype(int), 0, W - 1, xp)
+    return values[..., r, c] if values.ndim == 2 else xp.take_along_axis(
+        values.reshape(values.shape[:-2] + (-1,)), r * W + c, axis=-1
+    )
+
+
+def bilinear_sample(values, rows, cols, xp=np):
+    """Sample a 2-D grid (H, W) at fractional indices (bilinear, edge-clamped).
+
+    Matches ``RegularGridInterpolator(method='linear')`` for in-bounds
+    coordinates; out-of-bounds coordinates clamp to the edge (callers mask
+    them separately to reproduce bounds_error/fill semantics).
+    """
+    H, W = values.shape[-2], values.shape[-1]
+    r0f = xp.floor(xp.clip(rows, 0, H - 1 - 1e-9))
+    c0f = xp.floor(xp.clip(cols, 0, W - 1 - 1e-9))
+    r0 = r0f.astype(int)
+    c0 = c0f.astype(int)
+    r1 = xp.minimum(r0 + 1, H - 1)
+    c1 = xp.minimum(c0 + 1, W - 1)
+    fr = rows - r0f
+    fc = cols - c0f
+    v00 = values[..., r0, c0]
+    v01 = values[..., r0, c1]
+    v10 = values[..., r1, c0]
+    v11 = values[..., r1, c1]
+    top = v00 + (v01 - v00) * fc
+    bot = v10 + (v11 - v10) * fc
+    return top + (bot - top) * fr
+
+
+@functools.lru_cache(maxsize=128)
+def bspline_prefilter_matrix(n: int) -> np.ndarray:
+    """Inverse of the cubic B-spline collocation matrix for n uniform nodes.
+
+    Solving ``A @ coeffs = values`` where ``A[i, j] = B3(i - j)`` with
+    natural boundary conditions (coefficients mirrored with second-difference
+    = 0 at the ends). Returned dense so the prefilter is a single matmul —
+    static tile sizes make the host-side factorization free and the device
+    work MXU-shaped.
+    """
+    if n == 1:
+        return np.ones((1, 1))
+    # Collocation matrix: value at node i = (c[i-1] + 4 c[i] + c[i+1]) / 6,
+    # with natural BC: c[-1] = 2 c[0] - c[1], c[n] = 2 c[n-1] - c[n-2].
+    A = np.zeros((n, n))
+    for i in range(n):
+        A[i, i] = 4 / 6
+        if i > 0:
+            A[i, i - 1] += 1 / 6
+        if i < n - 1:
+            A[i, i + 1] += 1 / 6
+    # Natural boundary: fold the ghost coefficients into the end columns.
+    A[0, 0] += 2 * (1 / 6)
+    A[0, 1] -= 1 / 6
+    A[n - 1, n - 1] += 2 * (1 / 6)
+    A[n - 1, n - 2] -= 1 / 6
+    return np.linalg.inv(A)
+
+
+def bspline_prefilter_2d(values, xp=np, dtype=None):
+    """Compute cubic B-spline coefficients of a (..., H, W) grid.
+
+    Two dense matmuls (per-axis collocation inverses); exact interpolation
+    at the nodes.
+    """
+    H, W = values.shape[-2], values.shape[-1]
+    Ar = bspline_prefilter_matrix(H)
+    Ac = bspline_prefilter_matrix(W)
+    if dtype is None:
+        dtype = values.dtype
+    Ar = xp.asarray(Ar, dtype=dtype)
+    Ac = xp.asarray(Ac, dtype=dtype)
+    # coeffs = Ar @ values @ Ac.T
+    return xp.matmul(xp.matmul(Ar, values), xp.swapaxes(Ac, -1, -2))
+
+
+def _cubic_bspline_weights(t, xp):
+    """The four cubic B-spline basis values for fractional offset t in [0, 1).
+
+    Returns weights for nodes at offsets (-1, 0, 1, 2) from the base node.
+    """
+    t2 = t * t
+    t3 = t2 * t
+    w0 = (1 - 3 * t + 3 * t2 - t3) / 6
+    w1 = (4 - 6 * t2 + 3 * t3) / 6
+    w2 = (1 + 3 * t + 3 * t2 - 3 * t3) / 6
+    w3 = t3 / 6
+    return w0, w1, w2, w3
+
+
+def _natural_index(i, n, xp):
+    """Clamp coefficient index with natural-BC ghost handling.
+
+    Ghost coefficients were folded into the prefilter matrix as
+    c[-1] = 2c[0] - c[1] and c[n] = 2c[n-1] - c[n-2]; reproduce the same
+    extension here via (index, weight-pair) so sampling near edges stays
+    exact. Returns (i0, w0, i1, w1) such that c_ghost = w0*c[i0] + w1*c[i1].
+    """
+    below = i < 0
+    above = i > n - 1
+    i0 = xp.where(below, 0, xp.where(above, n - 1, i))
+    i1 = xp.where(below, xp.minimum(1, n - 1), xp.where(above, xp.maximum(n - 2, 0), i))
+    w0 = xp.where(below | above, 2.0, 1.0)
+    w1 = xp.where(below | above, -1.0, 0.0)
+    return i0, w0, i1, w1
+
+
+def bspline_sample(coeffs, rows, cols, xp=np):
+    """Evaluate a cubic B-spline (given coefficients) at fractional indices.
+
+    ``coeffs`` is the output of :func:`bspline_prefilter_2d` with shape
+    (H, W); ``rows``/``cols`` are arrays of identical shape.
+    """
+    H, W = coeffs.shape[-2], coeffs.shape[-1]
+    rb = xp.floor(rows)
+    cb = xp.floor(cols)
+    tr = rows - rb
+    tc = cols - cb
+    rb = rb.astype(int)
+    cb = cb.astype(int)
+    wr = _cubic_bspline_weights(tr, xp)
+    wc = _cubic_bspline_weights(tc, xp)
+    out = xp.zeros_like(rows)
+    for dr in range(4):
+        ri = rb + (dr - 1)
+        ri0, rw0, ri1, rw1 = _natural_index(ri, H, xp)
+        for dc in range(4):
+            ci = cb + (dc - 1)
+            ci0, cw0, ci1, cw1 = _natural_index(ci, W, xp)
+            # Ghost extension: bilinear combination of the folded indices.
+            val = (
+                rw0 * cw0 * coeffs[..., ri0, ci0]
+                + rw0 * cw1 * coeffs[..., ri0, ci1]
+                + rw1 * cw0 * coeffs[..., ri1, ci0]
+                + rw1 * cw1 * coeffs[..., ri1, ci1]
+            )
+            out = out + wr[dr] * wc[dc] * val
+    return out
+
+
+def sample_grid(values, rows, cols, order: int = 1, xp=np, prefiltered: bool = False):
+    """Sample a 2-D grid at fractional indices with the given order.
+
+    order 0: nearest; 1: bilinear; 3: exact interpolating cubic B-spline.
+    With ``prefiltered=True``, ``values`` are already spline coefficients.
+    """
+    if order == 0:
+        return nearest_sample(values, rows, cols, xp=xp)
+    if order == 1:
+        return bilinear_sample(values, rows, cols, xp=xp)
+    if order == 3:
+        coeffs = values if prefiltered else bspline_prefilter_2d(values, xp=xp)
+        return bspline_sample(coeffs, rows, cols, xp=xp)
+    raise ValueError(f"Unsupported interpolation order: {order}")
