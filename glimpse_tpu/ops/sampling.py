@@ -49,15 +49,16 @@ def nearest_sample(values, rows, cols, xp=np):
 
 
 def bilinear_sample(values, rows, cols, xp=np):
-    """Sample a 2-D grid (H, W) at fractional indices (bilinear, edge-clamped).
+    """Sample a 2-D grid (H, W) at fractional indices (bilinear).
 
     Matches ``RegularGridInterpolator(method='linear')`` for in-bounds
-    coordinates; out-of-bounds coordinates clamp to the edge (callers mask
-    them separately to reproduce bounds_error/fill semantics).
+    coordinates; out-of-bounds coordinates extrapolate linearly from the
+    edge cells (``fill_value=None`` semantics — callers mask out-of-bounds
+    points separately to reproduce bounds_error/fill behavior).
     """
     H, W = values.shape[-2], values.shape[-1]
-    r0f = xp.floor(xp.clip(rows, 0, H - 1 - 1e-9))
-    c0f = xp.floor(xp.clip(cols, 0, W - 1 - 1e-9))
+    r0f = xp.clip(xp.floor(rows), 0, max(H - 2, 0))
+    c0f = xp.clip(xp.floor(cols), 0, max(W - 2, 0))
     r0 = r0f.astype(int)
     c0 = c0f.astype(int)
     r1 = xp.minimum(r0 + 1, H - 1)
