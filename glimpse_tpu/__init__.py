@@ -7,14 +7,24 @@ camera calibration and sequence stabilization, and a Bayesian particle-filter
 tracker whose entire update step (projection, NCC template matching,
 likelihood, resampling) runs on-device, batched over thousands of points.
 """
-from . import config, helpers, ops
+from . import config, helpers, io, ops, svg
 from .camera import Camera
+from .exif import Exif
+from .image import Image
+from .raster import Grid, Raster, RasterInterpolant
 
 __all__ = [
     "config",
     "helpers",
+    "io",
     "ops",
+    "svg",
     "Camera",
+    "Exif",
+    "Image",
+    "Grid",
+    "Raster",
+    "RasterInterpolant",
 ]
 
 __version__ = "0.1.0"

@@ -1,0 +1,168 @@
+"""SVG module tests (contracts from /root/reference/tests/test_svg.py)."""
+import io
+from typing import Tuple, Union
+
+import pytest
+
+import glimpse_tpu.svg as svg
+
+
+def test_errors_for_missing_svg() -> None:
+    with pytest.raises(ValueError):
+        svg.read(io.StringIO("<xml />"))
+
+
+def test_errors_for_multiple_svg() -> None:
+    with pytest.raises(ValueError):
+        svg.read(io.StringIO("<svg><svg /></svg>"))
+
+
+def test_errors_for_imgsz_and_missing_image() -> None:
+    fp = io.StringIO("<svg />")
+    svg.read(fp)
+    fp.seek(0)
+    with pytest.raises(ValueError):
+        svg.read(fp, imgsz=(12, 8))
+
+
+def test_warns_for_multiple_image() -> None:
+    image = '<image width="6" height="4" />'
+    with pytest.warns(UserWarning):
+        svg.read(io.StringIO(f"<svg>{image * 2}</svg>"))
+
+
+@pytest.mark.parametrize(
+    "element",
+    [
+        "<path d='M 1,1.0' />",
+        "<polygon points='1,1.0' />",
+        "<polyline points='1,1.0' />",
+        "<line x1='1' y1='1.0' x2='2' y2='2' />",
+        "<circle cx='1' cy='1.0' />",
+        "<rect x='1' y='1.0' width='1' height='1' />",
+    ],
+)
+def test_preserves_integers(element: str) -> None:
+    coords = svg.read(io.StringIO(f"<svg>{element}</svg>"))
+    x, y = coords[list(coords.keys())[0]][0]
+    assert isinstance(x, int) and x == 1
+    assert isinstance(y, float) and y == 1
+
+
+@pytest.mark.parametrize(
+    "s, xy",
+    [
+        ["1,-0.1", (1, -0.1)],
+        ["1 -0.1", (1, -0.1)],
+        ["1-0.1", (1, -0.1)],
+        ["0.1.2", (0.1, 0.2)],
+        ["1-1.2e-01", (1, -0.12)],
+        ["1 1.2e+01", (1, 12)],
+        ["1 1.2e01", (1, 12)],
+        ["1 1.2e1", (1, 12)],
+    ],
+)
+def test_parses_coordinate_formats(s, xy) -> None:
+    for element, tag in [
+        (f"<path d='M {s}' />", "path"),
+        (f"<polyline points='{s}' />", "polyline"),
+        (f"<polygon points='{s}' />", "polygon"),
+    ]:
+        coords = svg.read(io.StringIO(f"<svg>{element}</svg>"))
+        assert coords[tag][0] == xy
+
+
+@pytest.mark.parametrize(
+    "cmd, dxy",
+    [
+        ["M 1,2", (1, 2)],
+        ["L 1,2", (1, 2)],
+        ["H 1", (1, 0)],
+        ["V 2", (0, 2)],
+        ["C 0,0 0,0 1,2", (1, 2)],
+        ["S 0,0 1,2", (1, 2)],
+        ["Q 0,0 1,2", (1, 2)],
+        ["A 0 0 0 0 0 1,2", (1, 2)],
+        ["Z", (0, 0)],
+    ],
+)
+def test_parses_path_commands(cmd, dxy) -> None:
+    xo, yo = 1, 2
+    for start in ("M", "m"):
+        coords = svg.read(
+            io.StringIO(f"<svg><path d='{start} {xo},{yo} {cmd}' /></svg>")
+        )
+        assert coords["path"][1] == (dxy[0] or xo, dxy[1] or yo)
+        coords = svg.read(
+            io.StringIO(f"<svg><path d='{start} {xo},{yo} {cmd.lower()}' /></svg>")
+        )
+        assert coords["path"][1] == (xo + dxy[0], yo + dxy[1])
+
+
+def test_errors_for_invalid_path_command() -> None:
+    with pytest.raises(ValueError):
+        svg.read(io.StringIO("<svg><path d='X 0,0' /></svg>"))
+
+
+def test_parses_image_coordinates() -> None:
+    xml = """
+    <svg xmlns="http://www.w3.org/2000/svg">
+        <path d="M 0,1 L 1,1 1,2 0,2 Z" />
+        <polygon points="0,1 1,1 1,2 0,2" />
+        <rect x="0" y="1" width="1" height="1" />
+        <polyline points="-1,2 0,3" transform="matrix(1 0 0 1 1 -1)" />
+        <line x1="0" y1="0.5" x2="0.5" y2="1" transform="scale(4,0.5)scale(0.5 4)" />
+        <circle cx="-1" cy="2" r="1" transform="translate(1,-1)" />
+        <image x="0" y="1" width="11" height="10" />
+    </svg>
+    """
+    xy = svg.read(io.StringIO(xml), imgsz=(11, 10))
+    assert xy["path"] == [(0, 0), (1, 0), (1, 1), (0, 1), (0, 0)]
+    assert xy["polygon"] == [(0, 0), (1, 0), (1, 1), (0, 1), (0, 0)]
+    assert xy["rect"] == [(0, 0), (1, 0), (1, 1), (0, 1), (0, 0)]
+    assert xy["polyline"] == [(0, 0), (1, 1)]
+    assert xy["line"] == [(0, 0), (1, 1)]
+    assert xy["circle"] == [(0, 0)]
+    assert xy["image"] == [(0, 0), (11, 0), (11, 10), (0, 10), (0, 0)]
+    xy2 = svg.read(io.StringIO(xml), imgsz=(22, 20))
+    assert xy2["path"] == [(x * 2, y * 2) for x, y in xy["path"]]
+
+
+def test_sets_element_attribute_as_key() -> None:
+    txt = "<svg><g id='gcp'><circle id='rock' cx='0' cy='1'/></g></svg>"
+    xy = svg.read(io.StringIO(txt))
+    xyid = svg.read(io.StringIO(txt), key="id")
+    assert xy["g"]["circle"] == xyid["gcp"]["rock"]
+
+
+def test_groups_values_by_key() -> None:
+    txt = "<svg><path id='gcp' d='M 0, 0' /><path id='gcp' d='M 0, 0' /></svg>"
+    coords = svg.read(io.StringIO(txt))
+    assert coords["path"] == [[(0, 0)], [(0, 0)]]
+    coords = svg.read(io.StringIO(txt), key="id")
+    assert coords["gcp"] == [[(0, 0)], [(0, 0)]]
+
+
+def test_sets_svg_size() -> None:
+    iw, ih = "6", "4"
+    e = svg.svg()
+    assert "width" not in e.attrib
+    assert "height" not in e.attrib
+    e = svg.svg(svg.image(width=iw, height=ih))
+    assert (e.attrib["width"], e.attrib["height"]) == (iw, ih)
+
+
+def test_writes_and_reads_coordinates() -> None:
+    xy = [(0, 0), (100, 100), (200, 200)]
+    e = svg.svg(
+        svg.image(href="photo.jpg", width=800, height=536),
+        svg.g(svg.path(d=xy), id="control"),
+    )
+    txt = svg.write(e)
+    coords = svg.read(io.StringIO(txt), key="id")
+    assert xy == coords["control"]["path"]
+
+
+def test_reads_reference_annotation_fixture(assets_dir) -> None:
+    xy = svg.read(assets_dir / "AK10b_20141013_020336.svg", key="id", imgsz=(800, 536))
+    assert isinstance(xy, dict) and len(xy) > 0
