@@ -12,6 +12,15 @@ from .camera import Camera
 from .exif import Exif
 from .image import Image
 from .raster import Grid, Raster, RasterInterpolant
+from .track import (
+    CartesianMotion,
+    CylindricalMotion,
+    Observer,
+    TangentCartesianMotion,
+    TangentCylindricalMotion,
+    Tracker,
+    Tracks,
+)
 
 __all__ = [
     "config",
@@ -25,6 +34,13 @@ __all__ = [
     "Grid",
     "Raster",
     "RasterInterpolant",
+    "Observer",
+    "Tracker",
+    "Tracks",
+    "CartesianMotion",
+    "CylindricalMotion",
+    "TangentCartesianMotion",
+    "TangentCylindricalMotion",
 ]
 
 __version__ = "0.1.0"

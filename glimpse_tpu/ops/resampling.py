@@ -1,0 +1,161 @@
+"""Particle-filter resampling ops (systematic, stratified, residual, choice).
+
+Vectorized, fixed-shape equivalents of the reference resamplers
+(``/root/reference/src/glimpse/track/tracker.py:151-223``, themselves
+vectorized FilterPy ports). The NumPy versions take a ``numpy.random
+.Generator``; the JAX versions take a PRNG key and are jit/vmap-safe
+(residual resampling is reformulated with static shapes: the deterministic
+replication is expressed as a searchsorted over cumulative counts, the
+remainder drawn from the residual distribution).
+"""
+from typing import Optional
+
+import numpy as np
+
+
+# ---- NumPy host versions ---- #
+
+
+def systematic_np(weights: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+    n = len(weights)
+    w = weights / weights.sum()
+    positions = (np.arange(n) + rng.random()) / n
+    return np.searchsorted(np.cumsum(w), positions)
+
+
+def stratified_np(weights: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+    n = len(weights)
+    w = weights / weights.sum()
+    positions = (np.arange(n) + rng.random(n)) / n
+    return np.searchsorted(np.cumsum(w), positions)
+
+
+def residual_np(weights: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+    n = len(weights)
+    w = weights / weights.sum()
+    counts = (n * w).astype(int)
+    deterministic = np.repeat(np.arange(n), counts)
+    residuals = w * n - counts
+    residuals = residuals / residuals.sum()
+    extra = np.searchsorted(np.cumsum(residuals), rng.random(n - len(deterministic)))
+    return np.concatenate((deterministic, extra))
+
+
+def choice_np(weights: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+    n = len(weights)
+    w = weights / weights.sum()
+    return rng.choice(np.arange(n), size=n, replace=True, p=w)
+
+
+def resample_np(
+    weights: np.ndarray, method: str = "systematic", rng: np.random.Generator = None
+) -> np.ndarray:
+    if rng is None:
+        rng = np.random.default_rng()
+    fn = {
+        "systematic": systematic_np,
+        "stratified": stratified_np,
+        "residual": residual_np,
+        "choice": choice_np,
+    }[method]
+    return fn(weights, rng)
+
+
+# ---- JAX device versions ---- #
+
+
+def systematic_jax(key, weights):
+    import jax
+    import jax.numpy as jnp
+
+    n = weights.shape[-1]
+    w = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    u = jax.random.uniform(key, weights.shape[:-1] + (1,))
+    positions = (jnp.arange(n) + u) / n
+    cum = jnp.cumsum(w, axis=-1)
+    return _batched_searchsorted(cum, positions)
+
+
+def stratified_jax(key, weights):
+    import jax
+    import jax.numpy as jnp
+
+    n = weights.shape[-1]
+    w = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    u = jax.random.uniform(key, weights.shape)
+    positions = (jnp.arange(n) + u) / n
+    cum = jnp.cumsum(w, axis=-1)
+    return _batched_searchsorted(cum, positions)
+
+
+def residual_jax(key, weights):
+    """Residual resampling with static shapes.
+
+    Deterministic replication: particle i is copied floor(n w_i) times; the
+    remaining slots are filled by multinomial draws from the residual
+    distribution. Slot assignment is a searchsorted over cumulative counts.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    n = weights.shape[-1]
+    w = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    counts = jnp.floor(n * w)
+    total = jnp.sum(counts, axis=-1, keepdims=True)
+    cum_counts = jnp.cumsum(counts, axis=-1)
+    slots = jnp.arange(n, dtype=weights.dtype)
+    # side='right': slot k belongs to the first particle whose cumulative
+    # count exceeds k.
+    det_idx = _batched_searchsorted(
+        cum_counts, jnp.broadcast_to(slots, w.shape), side="right"
+    )
+    residuals = w * n - counts
+    res_sum = jnp.sum(residuals, axis=-1, keepdims=True)
+    res = residuals / jnp.where(res_sum > 0, res_sum, 1.0)
+    u = jax.random.uniform(key, weights.shape)
+    extra_idx = _batched_searchsorted(jnp.cumsum(res, axis=-1), u)
+    return jnp.where(slots < total, det_idx, extra_idx)
+
+
+def choice_jax(key, weights):
+    import jax
+    import jax.numpy as jnp
+
+    n = weights.shape[-1]
+    w = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    u = jax.random.uniform(key, weights.shape)
+    cum = jnp.cumsum(w, axis=-1)
+    return _batched_searchsorted(cum, u)
+
+
+def _batched_searchsorted(sorted_arrays, values, side: str = "left"):
+    """searchsorted along the last axis for equally-shaped batches."""
+    import jax
+    import jax.numpy as jnp
+
+    if sorted_arrays.ndim == 1:
+        return jnp.clip(
+            jnp.searchsorted(sorted_arrays, values, side=side),
+            0,
+            sorted_arrays.shape[0] - 1,
+        )
+    flat_sorted = sorted_arrays.reshape(-1, sorted_arrays.shape[-1])
+    flat_values = jnp.broadcast_to(values, sorted_arrays.shape).reshape(
+        -1, sorted_arrays.shape[-1]
+    )
+    out = jax.vmap(lambda a, v: jnp.searchsorted(a, v, side=side))(
+        flat_sorted, flat_values
+    )
+    out = jnp.clip(out, 0, sorted_arrays.shape[-1] - 1)
+    return out.reshape(sorted_arrays.shape)
+
+
+def resample_jax(key, weights, method: str = "systematic"):
+    """Resample indices on device; batched over leading axes."""
+    fn = {
+        "systematic": systematic_jax,
+        "stratified": stratified_jax,
+        "residual": residual_jax,
+        "choice": choice_jax,
+    }[method]
+    return fn(key, weights)

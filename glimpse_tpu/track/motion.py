@@ -1,0 +1,325 @@
+"""Particle motion models.
+
+API parity with the reference motion models
+(``/root/reference/src/glimpse/track/motion.py:13,92,207,314,415``):
+particle state is (x, y, z, vx, vy, vz); each model provides
+``initialize_particles`` / ``evolve_particles`` / ``compute_log_likelihoods``.
+The host classes here carry an explicit ``numpy.random.Generator`` (``rng``
+attribute) rather than mutating global RNG state, and expose their
+parameters as flat arrays so the batched TPU tracker
+(:mod:`glimpse_tpu.track.batch`) can stack thousands of models into one
+jitted program.
+"""
+import datetime
+from typing import Iterable, Optional, Union
+
+import numpy as np
+
+from ..raster import Raster
+
+Number = Union[int, float]
+
+
+def _as_raster(obj) -> Raster:
+    if isinstance(obj, Raster):
+        return obj
+    return Raster(obj, x=[-np.inf, np.inf], y=[-np.inf, np.inf])
+
+
+class Motion:
+    """Minimal motion model: fixed initial position, drifting velocity.
+
+    Illustrates the interface required by :class:`Tracker`; particles start
+    at (x, y, 0) with normally distributed velocities and evolve ballistically.
+    """
+
+    def __init__(
+        self,
+        xy: Iterable[Number],
+        time_unit: datetime.timedelta,
+        n: int = 1000,
+        vxyz_sigma: Iterable[Number] = (0, 0, 0),
+        seed: Optional[int] = None,
+    ) -> None:
+        self.xy = xy
+        self.time_unit = time_unit
+        self.n = n
+        self.vxyz_sigma = vxyz_sigma
+        self.rng = np.random.default_rng(seed)
+
+    def initialize_particles(self) -> np.ndarray:
+        """Particle positions and velocities (n, 6)."""
+        particles = np.zeros((self.n, 6), dtype=float)
+        particles[:, 0:2] = self.xy
+        particles[:, 3:6] = self.vxyz_sigma * self.rng.standard_normal((self.n, 3))
+        return particles
+
+    def evolve_particles(self, particles: np.ndarray, dt: datetime.timedelta) -> None:
+        """Advance particles in place by ``dt``."""
+        units = dt.total_seconds() / self.time_unit.total_seconds()
+        particles[:, 0:3] += units * particles[:, 3:6]
+
+    def compute_log_likelihoods(self, particles: np.ndarray) -> Optional[np.ndarray]:
+        """Optional per-particle negative log likelihood (added to observers')."""
+        return None
+
+
+class CartesianMotion(Motion):
+    """Ballistic motion with normally distributed accelerations in x, y, z.
+
+    Heights initialize from a mean surface (``dem``) and its uncertainty
+    (``dem_sigma``); particles are weighted by their distance from that
+    surface. The Welty (2018) 3-D model.
+    """
+
+    def __init__(
+        self,
+        xy: Iterable[Number],
+        time_unit: datetime.timedelta,
+        dem: Union[Number, Raster],
+        dem_sigma: Union[Number, Raster] = None,
+        n: int = 1000,
+        xy_sigma: Iterable[Number] = (0, 0),
+        vxyz: Iterable[Number] = (0, 0, 0),
+        vxyz_sigma: Iterable[Number] = (0, 0, 0),
+        axyz: Iterable[Number] = (0, 0, 0),
+        axyz_sigma: Iterable[Number] = (0, 0, 0),
+        seed: Optional[int] = None,
+    ) -> None:
+        self.xy = xy
+        self.time_unit = time_unit
+        self.dem = _as_raster(dem)
+        self.dem_sigma = None if dem_sigma is None else _as_raster(dem_sigma)
+        self.n = n
+        self.xy_sigma = xy_sigma
+        self.vxyz = vxyz
+        self.vxyz_sigma = vxyz_sigma
+        self.axyz = axyz
+        self.axyz_sigma = axyz_sigma
+        self.rng = np.random.default_rng(seed)
+
+    def initialize_particles(self) -> np.ndarray:
+        particles = np.zeros((self.n, 6), dtype=float)
+        particles[:, 0:2] = self.xy + self.xy_sigma * self.rng.standard_normal(
+            (self.n, 2)
+        )
+        particles[:, 2] = self.dem.sample(particles[:, 0:2])
+        if self.dem_sigma is not None:
+            z_sigma = self.dem_sigma.sample(particles[:, 0:2])
+            particles[:, 2] += z_sigma * self.rng.standard_normal(self.n)
+        particles[:, 3:6] = self.vxyz + self.vxyz_sigma * self.rng.standard_normal(
+            (self.n, 3)
+        )
+        return particles
+
+    def evolve_particles(self, particles: np.ndarray, dt: datetime.timedelta) -> None:
+        n = len(particles)
+        units = dt.total_seconds() / self.time_unit.total_seconds()
+        axyz = self.axyz + self.axyz_sigma * self.rng.standard_normal((n, 3))
+        particles[:, 0:3] += units * particles[:, 3:6] + 0.5 * axyz * units ** 2
+        particles[:, 3:6] += units * axyz
+
+    def compute_log_likelihoods(self, particles: np.ndarray) -> Optional[np.ndarray]:
+        if self.dem_sigma is None:
+            return None
+        z = self.dem.sample(particles[:, 0:2])
+        z_sigma = self.dem_sigma.sample(particles[:, 0:2])
+        nonzero = np.nonzero(z_sigma)[0]
+        ll = np.zeros(len(particles), dtype=float)
+        ll[nonzero] = (
+            (z[nonzero] - particles[nonzero, 2]) ** 2 / (2 * z_sigma[nonzero] ** 2)
+        )
+        return ll
+
+
+class CylindricalMotion(CartesianMotion):
+    """Like :class:`CartesianMotion` but with motion specified in polar
+    (speed, angle, vz) components (angles in radians CCW from +x)."""
+
+    def __init__(
+        self,
+        xy: Iterable[Number],
+        time_unit: datetime.timedelta,
+        dem: Union[Number, Raster],
+        dem_sigma: Union[Number, Raster] = None,
+        n: int = 1000,
+        xy_sigma: Iterable[Number] = (0, 0),
+        vrthz: Iterable[Number] = (0, 0, 0),
+        vrthz_sigma: Iterable[Number] = (0, 0, 0),
+        arthz: Iterable[Number] = (0, 0, 0),
+        arthz_sigma: Iterable[Number] = (0, 0, 0),
+        seed: Optional[int] = None,
+    ) -> None:
+        super().__init__(
+            xy=xy, time_unit=time_unit, dem=dem, dem_sigma=dem_sigma, n=n,
+            xy_sigma=xy_sigma, seed=seed,
+        )
+        self.vrthz = vrthz
+        self.vrthz_sigma = vrthz_sigma
+        self.arthz = arthz
+        self.arthz_sigma = arthz_sigma
+
+    def initialize_particles(self) -> np.ndarray:
+        particles = np.zeros((self.n, 6), dtype=float)
+        particles[:, 0:2] = self.xy + self.xy_sigma * self.rng.standard_normal(
+            (self.n, 2)
+        )
+        particles[:, 2] = self.dem.sample(particles[:, 0:2])
+        if self.dem_sigma is not None:
+            z_sigma = self.dem_sigma.sample(particles[:, 0:2])
+            particles[:, 2] += z_sigma * self.rng.standard_normal(self.n)
+        v = self.vrthz + self.vrthz_sigma * self.rng.standard_normal((self.n, 3))
+        particles[:, 3] = v[:, 0] * np.cos(v[:, 1])
+        particles[:, 4] = v[:, 0] * np.sin(v[:, 1])
+        particles[:, 5] = v[:, 2]
+        return particles
+
+    def evolve_particles(self, particles: np.ndarray, dt: datetime.timedelta) -> None:
+        n = len(particles)
+        units = dt.total_seconds() / self.time_unit.total_seconds()
+        vx, vy = particles[:, 3], particles[:, 4]
+        vr = np.sqrt(vx ** 2 + vy ** 2)
+        arthz = self.arthz + self.arthz_sigma * self.rng.standard_normal((n, 3))
+        # Polar acceleration decomposed onto the instantaneous direction.
+        axyz = np.column_stack(
+            (
+                arthz[:, 0] * (vx / vr) - vy * arthz[:, 1],
+                arthz[:, 0] * (vy / vr) + vx * arthz[:, 1],
+                arthz[:, 2],
+            )
+        )
+        particles[:, 0:3] += units * particles[:, 3:6] + 0.5 * axyz * units ** 2
+        particles[:, 3:6] += units * axyz
+
+
+class TangentCartesianMotion(Motion):
+    """2-D motion glued to a surface (Brinkerhoff 2017, chapter 4).
+
+    Particle z follows the DEM plus a random-walk offset proportional to the
+    horizontal step length and a characteristic small-scale slope.
+    """
+
+    def __init__(
+        self,
+        xy: Iterable[Number],
+        time_unit: datetime.timedelta,
+        dem: Union[Number, Raster],
+        dem_sigma: Union[Number, Raster] = 0,
+        n: int = 1000,
+        xy_sigma: Iterable[Number] = (0, 0),
+        vxy: Iterable[Number] = (0, 0),
+        vxy_sigma: Iterable[Number] = (0, 0),
+        axy: Iterable[Number] = (0, 0),
+        axy_sigma: Iterable[Number] = (0, 0),
+        slope_sigma: Number = 0,
+        seed: Optional[int] = None,
+    ) -> None:
+        self.xy = xy
+        self.time_unit = time_unit
+        self.dem = _as_raster(dem)
+        self.dem_sigma = _as_raster(dem_sigma)
+        self.n = n
+        self.xy_sigma = xy_sigma
+        self.vxy = vxy
+        self.vxy_sigma = vxy_sigma
+        self.axy = axy
+        self.axy_sigma = axy_sigma
+        self.slope_sigma = slope_sigma
+        self.rng = np.random.default_rng(seed)
+
+    def initialize_particles(self) -> np.ndarray:
+        particles = np.zeros((self.n, 6), dtype=float)
+        particles[:, 0:2] = self.xy + self.xy_sigma * self.rng.standard_normal(
+            (self.n, 2)
+        )
+        z_offsets = self.dem_sigma.sample(
+            particles[:, 0:2]
+        ) * self.rng.standard_normal(self.n)
+        particles[:, 2] = self.dem.sample(particles[:, 0:2]) + z_offsets
+        particles[:, 3:5] = self.vxy + self.vxy_sigma * self.rng.standard_normal(
+            (self.n, 2)
+        )
+        return particles
+
+    def evolve_particles(self, particles: np.ndarray, dt: datetime.timedelta) -> None:
+        n = len(particles)
+        units = dt.total_seconds() / self.time_unit.total_seconds()
+        axy = self.axy + self.axy_sigma * self.rng.standard_normal((n, 2))
+        dxy = units * particles[:, 3:5] + 0.5 * axy * units ** 2
+        # Offsets are recovered from current z (particles may have been
+        # resampled since the last step), then random-walked.
+        z_offsets = particles[:, 2] - self.dem.sample(particles[:, 0:2])
+        z_offsets += (
+            self.slope_sigma
+            * self.rng.standard_normal(n)
+            * np.sqrt((dxy ** 2).sum(axis=1))
+        )
+        particles[:, 0:2] += dxy
+        particles[:, 2] = self.dem.sample(particles[:, 0:2]) + z_offsets
+        particles[:, 3:5] += units * axy
+
+
+class TangentCylindricalMotion(TangentCartesianMotion):
+    """Like :class:`TangentCartesianMotion` with polar (speed, angle) motion."""
+
+    def __init__(
+        self,
+        xy: Iterable[Number],
+        time_unit: datetime.timedelta,
+        dem: Union[Number, Raster],
+        dem_sigma: Union[Number, Raster] = None,
+        n: int = 1000,
+        xy_sigma: Iterable[Number] = (0, 0),
+        vrth: Iterable[Number] = (0, 0),
+        vrth_sigma: Iterable[Number] = (0, 0),
+        arth: Iterable[Number] = (0, 0),
+        arth_sigma: Iterable[Number] = (0, 0),
+        slope_sigma: Number = 0,
+        seed: Optional[int] = None,
+    ) -> None:
+        super().__init__(
+            xy=xy, time_unit=time_unit, dem=dem,
+            dem_sigma=0 if dem_sigma is None else dem_sigma, n=n,
+            xy_sigma=xy_sigma, slope_sigma=slope_sigma, seed=seed,
+        )
+        self.vrth = vrth
+        self.vrth_sigma = vrth_sigma
+        self.arth = arth
+        self.arth_sigma = arth_sigma
+
+    def initialize_particles(self) -> np.ndarray:
+        particles = np.zeros((self.n, 6), dtype=float)
+        particles[:, 0:2] = self.xy + self.xy_sigma * self.rng.standard_normal(
+            (self.n, 2)
+        )
+        z_offsets = self.dem_sigma.sample(
+            particles[:, 0:2]
+        ) * self.rng.standard_normal(self.n)
+        particles[:, 2] = self.dem.sample(particles[:, 0:2]) + z_offsets
+        vrth = self.vrth + self.vrth_sigma * self.rng.standard_normal((self.n, 2))
+        particles[:, 3] = vrth[:, 0] * np.cos(vrth[:, 1])
+        particles[:, 4] = vrth[:, 0] * np.sin(vrth[:, 1])
+        return particles
+
+    def evolve_particles(self, particles: np.ndarray, dt: datetime.timedelta) -> None:
+        n = len(particles)
+        units = dt.total_seconds() / self.time_unit.total_seconds()
+        vx, vy = particles[:, 3], particles[:, 4]
+        vr = np.sqrt(vx ** 2 + vy ** 2)
+        arth = self.arth + self.arth_sigma * self.rng.standard_normal((n, 2))
+        axy = np.column_stack(
+            (
+                arth[:, 0] * (vx / vr) - vy * arth[:, 1],
+                arth[:, 0] * (vy / vr) + vx * arth[:, 1],
+            )
+        )
+        dxy = units * particles[:, 3:5] + 0.5 * axy * units ** 2
+        z_offsets = particles[:, 2] - self.dem.sample(particles[:, 0:2])
+        z_offsets += (
+            self.slope_sigma
+            * self.rng.standard_normal(n)
+            * np.sqrt((dxy ** 2).sum(axis=1))
+        )
+        particles[:, 0:2] += dxy
+        particles[:, 2] = self.dem.sample(particles[:, 0:2]) + z_offsets
+        particles[:, 3:5] += units * axy

@@ -1,0 +1,340 @@
+"""Container for tracked particle trajectories.
+
+API parity with the reference ``Tracks``
+(``/root/reference/src/glimpse/track/tracks.py:20``): per-track means,
+sigmas/covariances, optional raw particles/weights, per-track errors and
+warnings (fault containment), temporal reversal for backward tracking, and
+inverse-variance fusion of multiple runs.
+"""
+import datetime
+from typing import Any, Dict, Iterable, List, Optional, Tuple, Union
+
+import numpy as np
+
+from .. import helpers
+
+Index = Union[slice, Iterable[int]]
+Number = Union[int, float]
+
+
+class Tracks:
+    """Estimated trajectories of world points.
+
+    Dimensions: n tracks, m datetimes, p particles.
+    """
+
+    def __init__(
+        self,
+        datetimes: Iterable[datetime.datetime],
+        time_unit: datetime.timedelta,
+        means,
+        sigmas=None,
+        covariances=None,
+        particles=None,
+        weights=None,
+        tracker=None,
+        images=None,
+        params: dict = None,
+        errors: Iterable = None,
+        warnings: Iterable = None,
+    ) -> None:
+        self.datetimes = np.asarray(datetimes)
+        self.time_unit = time_unit
+        self.means = self._stack(means)
+        self.sigmas = self._stack(sigmas)
+        self.covariances = self._stack(covariances)
+        self.particles = self._stack(particles)
+        self.weights = self._stack(weights)
+        self.tracker = tracker
+        self.images = images if images is None else np.asarray(images)
+        self.params = params
+        self.errors = errors if errors is None else np.asarray(errors, dtype=object)
+        self.warnings = (
+            warnings if warnings is None else np.asarray(warnings, dtype=object)
+        )
+        self.reduced: Optional[list] = None
+
+    @staticmethod
+    def _stack(value):
+        if value is None or isinstance(value, np.ndarray):
+            return value
+        if np.iterable(value):
+            return np.stack(value, axis=0)
+        return value
+
+    # ---- Accessors ---- #
+
+    @property
+    def xyz(self) -> np.ndarray:
+        """Mean positions (n, m, 3)."""
+        return self.means[:, :, 0:3]
+
+    @property
+    def vxyz(self) -> np.ndarray:
+        """Mean velocities (n, m, 3)."""
+        return self.means[:, :, 3:6]
+
+    @property
+    def xyz_sigma(self) -> Optional[np.ndarray]:
+        """Position standard deviations (n, m, 3)."""
+        if self.sigmas is not None:
+            return self.sigmas[:, :, 0:3]
+        if self.covariances is not None:
+            return np.sqrt(self.covariances[:, :, (0, 1, 2), (0, 1, 2)])
+        return None
+
+    @property
+    def vxyz_sigma(self) -> Optional[np.ndarray]:
+        """Velocity standard deviations (n, m, 3)."""
+        if self.sigmas is not None:
+            return self.sigmas[:, :, 3:6]
+        if self.covariances is not None:
+            return np.sqrt(self.covariances[:, :, (3, 4, 5), (3, 4, 5)])
+        return None
+
+    @property
+    def endpoints(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(valid-track mask, first valid index, last valid index)."""
+        valid = ~np.isnan(self.means[:, :, 0])
+        first = np.argmax(valid, axis=1)
+        last = valid.shape[1] - 1 - np.argmax(valid[:, ::-1], axis=1)
+        first_valid = valid[np.arange(len(first)), first]
+        return first_valid, first[first_valid], last[first_valid]
+
+    @property
+    def success(self) -> Optional[np.ndarray]:
+        """Whether each track completed without errors (n,)."""
+        if self.errors is not None:
+            return np.array([error is None for error in self.errors])
+        return None
+
+    # ---- Transformations ---- #
+
+    def reverse(self) -> None:
+        """Reverse the temporal order (for backward tracking)."""
+        for key in (
+            "datetimes", "means", "sigmas", "covariances", "particles",
+            "weights", "images",
+        ):
+            value = getattr(self, key)
+            if value is not None:
+                if value.ndim == 1:
+                    value = value[::-1]
+                else:
+                    value = value[:, ::-1, ...]
+                setattr(self, key, value)
+
+    @classmethod
+    def from_multiple(cls, runs: Iterable["Tracks"], ignore_nan: bool = False) -> "Tracks":
+        """Fuse runs with identical timesteps by inverse-variance weighting.
+
+        Runs are assumed uncorrelated (e.g. forward and backward passes over
+        the same sequence).
+        """
+        runs = list(runs)
+        datetimes = {tuple(run.datetimes) for run in runs}
+        if len(datetimes) != 1:
+            raise ValueError("Datetimes are not equal for all runs")
+        time_unit = {run.time_unit for run in runs}
+        if len(time_unit) != 1:
+            raise ValueError(f"Time units are not equal for all runs: {time_unit}")
+        means = np.stack([run.means for run in runs], axis=3)
+        sigmas = np.stack([run.sigmas for run in runs], axis=3)
+        means, sigmas = helpers.sum_normals(
+            means=means,
+            sigmas=sigmas,
+            weights=sigmas ** -2,
+            normalize=True,
+            correlation=0,
+            axis=3,
+            keepdims=False,
+            ignore_nan=ignore_nan,
+        )
+        return cls(
+            datetimes=np.array(datetimes.pop(), dtype=object),
+            time_unit=time_unit.pop(),
+            means=means,
+            sigmas=sigmas,
+        )
+
+    def average(self, ignore_nan: bool = False) -> Tuple[np.ndarray, np.ndarray]:
+        """Time-averaged distribution per track (assumes full correlation)."""
+        return helpers.sum_normals(
+            means=self.means,
+            sigmas=self.sigmas,
+            weights=self.sigmas ** -2,
+            normalize=True,
+            correlation=1,
+            axis=1,
+            ignore_nan=ignore_nan,
+        )
+
+    # ---- Plotting ---- #
+
+    def plot_xy(
+        self,
+        tracks: Index = slice(None),
+        start: Union[bool, dict] = True,
+        mean: Union[bool, dict] = True,
+        sigma: Union[bool, dict] = False,
+    ) -> Dict[str, Any]:
+        """Plot tracks on the x-y plane (start markers, mean paths, error bars)."""
+        import matplotlib.pyplot as plt
+
+        results: Dict[str, Any] = {}
+        if mean:
+            mean = {} if mean is True else mean
+            mean = {"color": "black", **mean}
+            results["mean"] = plt.plot(
+                self.xyz[tracks, :, 0].T, self.xyz[tracks, :, 1].T, **mean
+            )
+        if start:
+            start = {} if start is True else start
+            default = {"color": "black", "marker": ".", "linestyle": "none"}
+            if isinstance(mean, dict) and "color" in mean:
+                default["color"] = mean["color"]
+            start = {**default, **start}
+            results["start"] = plt.plot(
+                self.xyz[tracks, 0, 0], self.xyz[tracks, 0, 1], **start
+            )
+        if sigma:
+            sigma = {} if sigma is True else sigma
+            default = {"color": "black", "alpha": 0.25}
+            if isinstance(mean, dict) and "color" in mean:
+                default["color"] = mean["color"]
+            sigma = {**default, **sigma}
+            results["sigma"] = []
+            for i in np.atleast_1d(np.arange(len(self.xyz))[tracks]):
+                results["sigma"].append(
+                    plt.errorbar(
+                        self.xyz[i, :, 0],
+                        self.xyz[i, :, 1],
+                        xerr=self.xyz_sigma[i, :, 0],
+                        yerr=self.xyz_sigma[i, :, 1],
+                        **sigma,
+                    )
+                )
+        return results
+
+    def plot_vxy(self, tracks: Index = slice(None), **kwargs: Any) -> list:
+        """Plot velocities as quiver fields on the x-y plane."""
+        import matplotlib.pyplot as plt
+
+        kwargs = {"angles": "xy", **kwargs}
+        results = []
+        for i in np.atleast_1d(np.arange(len(self.xyz))[tracks]):
+            results.append(
+                plt.quiver(
+                    self.xyz[i, :, 0], self.xyz[i, :, 1],
+                    self.vxyz[i, :, 0], self.vxyz[i, :, 1], **kwargs,
+                )
+            )
+        return results
+
+    def plot_v1d(
+        self,
+        dim: int,
+        tracks: Index = slice(None),
+        mean: Union[bool, dict] = True,
+        sigma: Union[bool, dict] = False,
+    ) -> Dict[str, Any]:
+        """Plot one velocity component over time, with optional sigma band."""
+        import matplotlib.pyplot as plt
+
+        results: Dict[str, Any] = {}
+        if mean:
+            mean = {} if mean is True else mean
+            mean = {"color": "black", **mean}
+            results["mean"] = plt.plot(
+                self.datetimes, self.vxyz[tracks, :, dim].T, **mean
+            )
+        if sigma:
+            sigma = {} if sigma is True else sigma
+            default = {"facecolor": "black", "edgecolor": "none", "alpha": 0.25}
+            if isinstance(mean, dict) and "color" in mean:
+                default["facecolor"] = mean["color"]
+            sigma = {**default, **sigma}
+            results["sigma"] = []
+            for i in np.atleast_1d(np.arange(len(self.xyz))[tracks]):
+                results["sigma"].append(
+                    plt.fill_between(
+                        self.datetimes,
+                        y1=self.vxyz[i, :, dim] + self.vxyz_sigma[i, :, dim],
+                        y2=self.vxyz[i, :, dim] - self.vxyz_sigma[i, :, dim],
+                        **sigma,
+                    )
+                )
+        return results
+
+    def animate(
+        self,
+        track: int,
+        obs: int = 0,
+        frames: Iterable[int] = None,
+        images: bool = None,
+        particles: bool = None,
+        map_size: Tuple[Number, Number] = (20, 20),
+        img_size: Tuple[int, int] = (100, 100),
+        subplots: dict = {},
+        animation: dict = {},
+    ):
+        """Animate one track on a map panel and (optionally) an image panel."""
+        import matplotlib.animation
+        import matplotlib.pyplot as plt
+
+        if images is None:
+            images = self.tracker is not None
+        if particles is None:
+            particles = self.particles is not None and self.weights is not None
+        ncols = 2 if images else 1
+        fig, axes = plt.subplots(ncols=ncols, **subplots)
+        if ncols == 1:
+            axes = [axes]
+        if frames is None:
+            frames = np.arange(len(self.datetimes))
+        has_frame = np.where(
+            ~np.isnan(self.xyz[track, :, 0])
+            & (np.not_equal(self.images[:, obs], None) if self.images is not None
+               else True)
+        )[0]
+        frames = np.intersect1d(frames, has_frame)
+        i = frames[0]
+        track_xyz = self.xyz[track, : (i + 1)]
+        map_track = axes[0].plot(
+            track_xyz[:, 0], track_xyz[:, 1], color="black", marker="."
+        )[0]
+        artists = {"map_track": map_track}
+        if images:
+            img = self.images[i, obs]
+            observer = self.tracker.observers[obs]
+            track_uv = observer.xyz_to_uv(track_xyz, img=img)
+            artists["image_track"] = axes[1].plot(
+                track_uv[:, 0], track_uv[:, 1], color="black", marker="."
+            )[0]
+            box = observer.tile_box(track_uv[-1], size=img_size, img=img)
+            tile = observer.extract_tile(img=img, box=box)
+            artists["image_tile"] = observer.plot_tile(tile=tile, box=box, axes=axes[1])
+
+        def update(i: int) -> tuple:
+            track_xyz = self.xyz[track, : (i + 1)]
+            artists["map_track"].set_data(track_xyz[:, 0], track_xyz[:, 1])
+            axes[0].set_xlim(
+                track_xyz[-1, 0] - map_size[0] / 2, track_xyz[-1, 0] + map_size[0] / 2
+            )
+            axes[0].set_ylim(
+                track_xyz[-1, 1] - map_size[1] / 2, track_xyz[-1, 1] + map_size[1] / 2
+            )
+            if images:
+                img = self.images[i, obs]
+                observer = self.tracker.observers[obs]
+                track_uv = observer.xyz_to_uv(track_xyz, img=img)
+                artists["image_track"].set_data(track_uv[:, 0], track_uv[:, 1])
+                box = observer.tile_box(track_uv[-1], size=img_size, img=img)
+                tile = observer.extract_tile(img=img, box=box)
+                artists["image_tile"].set_data(tile)
+                artists["image_tile"].set_extent((box[0], box[2], box[3], box[1]))
+            return tuple(artists.values())
+
+        return matplotlib.animation.FuncAnimation(
+            fig, update, frames=frames[:-1], blit=True, **animation
+        )
