@@ -1,0 +1,1625 @@
+"""Camera calibration: control objects, bundle adjustment, stabilization.
+
+API parity with the reference optimize module
+(``/root/reference/src/glimpse/optimize.py``), re-engineered:
+
+- the lmfit dependency is replaced by :func:`scipy.optimize.least_squares`
+  driven directly (parameter masks, bounds, per-parameter scales, Jacobian
+  sparsity — optimize.py:1326-1878);
+- :class:`ObserverCameras` replaces the reference's hand-coded analytic
+  gradient over a Python loop of match pairs (optimize.py:2047-2072) with a
+  flat segmented formulation whose objective and exact gradient come from
+  ``jax.value_and_grad`` — one fused device computation over all pairs;
+- keypoint detection/matching stays host-side on OpenCV (SIFT/FLANN), as a
+  deliberate host-feeder component.
+"""
+import copyreg
+import datetime
+import math
+import sys
+from pathlib import Path
+from typing import Any, Dict, Generator, Iterable, List, Optional, Tuple, Type, Union
+
+import numpy as np
+import scipy.optimize
+import scipy.sparse
+
+from . import config, helpers
+from .camera import Camera
+from .image import Image
+from .io import geotiff
+from .ops import sampling as sampling_ops
+
+try:
+    import cv2
+
+    # Make cv2.KeyPoint picklable for keypoint cache files.
+    copyreg.pickle(
+        cv2.KeyPoint,
+        lambda k: (
+            cv2.KeyPoint,
+            (*k.pt, k.size, k.angle, k.response, k.octave, k.class_id),
+        ),
+    )
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+Index = Union[slice, Iterable[int]]
+CamIndex = Union[int, "Camera"]
+Number = Union[int, float]
+
+
+# ---- Control objects ---- #
+# Controls support RANSAC via: .size, .observed(index), .predicted(index).
+
+
+class Points:
+    """Image-world point correspondences.
+
+    World coordinates project through the camera and compare against their
+    observed image coordinates (optimize.py:46-236).
+    """
+
+    def __init__(self, cam: Camera, uv, xyz, directions: bool = False) -> None:
+        if len(uv) != len(xyz):
+            raise ValueError("Image and world coordinates have different length")
+        self.cam = cam
+        self.uv = np.asarray(uv, dtype=float)
+        self.xyz = np.asarray(xyz, dtype=float)
+        self.directions = directions
+        self._position = cam.xyz.copy()
+        self._imgsz = cam.imgsz.copy()
+
+    @property
+    def size(self) -> int:
+        """Number of point pairs."""
+        return len(self.uv)
+
+    def observed(self, index: Index = slice(None)) -> np.ndarray:
+        """Observed image coordinates."""
+        return self.uv[index]
+
+    def _test_position(self) -> None:
+        if self.directions and any(self.cam.xyz != self._position):
+            raise ValueError(
+                "Camera position has changed and world coordinates are ray directions"
+            )
+
+    def predicted(self, index: Index = slice(None)) -> np.ndarray:
+        """Image coordinates predicted by projecting the world coordinates."""
+        self._test_position()
+        return self.cam.xyz_to_uv(self.xyz[index], directions=self.directions)
+
+    def _scale(self, scale: np.ndarray) -> None:
+        if np.any(scale != 1):
+            self.uv = self.uv * scale
+
+    def resize(self, size=None, force: bool = False) -> None:
+        """Resize the camera and image coordinates together."""
+        if size is not None:
+            self.cam.resize(size=size, force=force)
+        self._scale(self.cam.imgsz / self._imgsz)
+        self._imgsz = self.cam.imgsz.copy()
+
+    def plot(self, index: Index = slice(None), selected="red", unselected="gray",
+             **kwargs: Any) -> dict:
+        """Plot reprojection errors as quivers (observed -> predicted)."""
+        return _plot_quivers(
+            self.observed(), self.predicted(), self.cam, index, selected,
+            unselected, **kwargs,
+        )
+
+
+class Lines(Points):
+    """Image-world line correspondences.
+
+    World polylines are projected, clipped to the frame, resampled to a
+    pixel density, and each observed image point matches its nearest
+    projected point (optimize.py:239-459).
+    """
+
+    def __init__(self, cam: Camera, uvs, xyzs, directions: bool = False,
+                 density: float = 1) -> None:
+        self.cam = cam
+        self.uvs = [np.asarray(uv, dtype=float) for uv in uvs]
+        self.uv = np.vstack(self.uvs)
+        self.xyzs = xyzs
+        self.directions = directions
+        self.density = density
+        self._position = cam.xyz.copy()
+        self._imgsz = cam.imgsz.copy()
+
+    def _project_xyzs(self) -> List[np.ndarray]:
+        """Project world lines into the image at the target pixel density."""
+        xy_step = (1 / self.density) / self.cam.f.max()
+        uv_edges = self.cam.edges(step=self.cam.imgsz / 2)
+        xy_edges = self.cam._uv_to_xy(uv_edges)
+        xy_box = np.hstack((np.min(xy_edges, axis=0), np.max(xy_edges, axis=0)))
+        puvs = []
+        inlines = []
+        for xyz in self.xyzs:
+            xy = self.cam._xyz_to_xy(np.asarray(xyz), directions=self.directions)
+            segments = helpers.boolean_split(xy, np.isnan(xy[:, 0]), include="false")
+            for segment in segments:
+                inlines.append(segment)
+                for clipped in helpers.clip_polyline_box(segment, xy_box):
+                    puvs.append(
+                        self.cam._xy_to_uv(
+                            helpers.interpolate_line(np.asarray(clipped), dx=xy_step)
+                        )
+                    )
+        if puvs:
+            return puvs
+        # Nothing in frame: fall back to the raw in-front vertices.
+        return [self.cam._xy_to_uv(segment) for segment in inlines]
+
+    def predicted(self, index: Index = slice(None)) -> np.ndarray:
+        """Nearest projected world-line point for each observed image point."""
+        self._test_position()
+        puv = np.vstack(self._project_xyzs())
+        distances = helpers.pairwise_distance(
+            self.observed(index=index), puv, metric="sqeuclidean"
+        )
+        return puv[np.argmin(distances, axis=1), :]
+
+    def _scale(self, scale: np.ndarray) -> None:
+        if np.any(scale != 1):
+            self.uvs = [uv * scale for uv in self.uvs]
+            self.uv = self.uv * scale
+
+    def plot(self, index: Index = slice(None), selected="red", unselected="gray",
+             observed="green", predicted="yellow", **kwargs: Any) -> dict:
+        """Plot observed/predicted lines and reprojection-error quivers."""
+        import matplotlib.pyplot as plt
+
+        result = {}
+        for uvs, args, label in [
+            (self.uvs, observed, "observed"),
+            (self._project_xyzs(), predicted, "predicted"),
+        ]:
+            if args is None:
+                result[label] = None
+                continue
+            if not isinstance(args, dict):
+                args = {"color": args}
+            result[label] = [
+                plt.plot(uv[:, 0], uv[:, 1], **args)[0] for uv in uvs
+            ]
+        result.update(
+            _plot_quivers(
+                self.observed(), self.predicted(), self.cam, index, selected,
+                unselected, **kwargs,
+            )
+        )
+        return result
+
+
+class Matches:
+    """Image-image point correspondences between co-located cameras.
+
+    Points from one camera are cast out as rays and projected into the
+    other (optimize.py:462-740).
+    """
+
+    def __init__(self, cams, uvs, weights=None) -> None:
+        self.cams = cams
+        self.uvs = [np.asarray(uv, dtype=float) for uv in uvs] if uvs else uvs
+        self.weights = weights
+        self._test_matches()
+        self._test_position()
+        self._imgszs = [cam.imgsz.copy() for cam in cams]
+
+    @property
+    def size(self) -> int:
+        """Number of point pairs."""
+        return len(self.uvs[0]) if self.uvs else len(self.xys[0])
+
+    def _test_matches(self) -> None:
+        if self.cams[0] is self.cams[1]:
+            raise ValueError("Both cameras are the same object")
+        uvs = self.uvs or getattr(self, "xys", None)
+        if len(self.cams) != 2 or len(uvs) != 2:
+            raise ValueError(
+                "Cameras and point coordinates do not have two elements each"
+            )
+        if len(uvs[0]) != len(uvs[1]):
+            raise ValueError("Camera point coordinates do not have the same length")
+
+    def _test_position(self) -> None:
+        if any(self.cams[0].xyz != self.cams[1].xyz):
+            raise ValueError("Cameras have different positions")
+
+    def _cam_index(self, cam: CamIndex) -> int:
+        if isinstance(cam, int):
+            if cam >= len(self.cams):
+                raise IndexError("Camera index out of range")
+            return cam
+        return list(self.cams).index(cam)
+
+    def observed(self, cam: CamIndex = 0, index: Index = slice(None)) -> np.ndarray:
+        """Observed image coordinates in one camera."""
+        return self.uvs[self._cam_index(cam)][index]
+
+    def predicted(self, cam: CamIndex = 0, index: Index = slice(None)) -> np.ndarray:
+        """Image coordinates predicted from the other camera's observations."""
+        self._test_position()
+        ci = self._cam_index(cam)
+        co = 0 if ci else 1
+        dxyz = self.cams[co].uv_to_xyz(self.uvs[co][index])
+        return self.cams[ci].xyz_to_uv(dxyz, directions=True)
+
+    def to_type(self, mtype: Type["Matches"]) -> "Matches":
+        """Convert to another matches type."""
+        if mtype is type(self):
+            return self
+        return mtype(cams=self.cams, uvs=self.uvs, weights=self.weights)
+
+    def resize(self, size=None, force: bool = False) -> None:
+        """Resize the cameras and their image coordinates together."""
+        for i, cam in enumerate(self.cams):
+            if size is not None:
+                cam.resize(size=size, force=force)
+            scale = cam.imgsz / self._imgszs[i]
+            if np.any(scale != 1):
+                self.uvs[i] = self.uvs[i] * scale
+                self._imgszs[i] = cam.imgsz.copy()
+
+    def filter(
+        self,
+        n_best: int = None,
+        min_weight: float = None,
+        cam: CamIndex = 0,
+        max_error: float = None,
+        max_distance: float = None,
+        scaled: bool = False,
+    ) -> None:
+        """Keep matches by weight rank, reprojection error, or pair distance."""
+        selected = np.ones(self.size, dtype=bool)
+        if (n_best or min_weight) and self.weights is None:
+            raise ValueError("Filtering on weights failed since these are missing")
+        if self.weights is not None:
+            if n_best:
+                order = np.argsort(-self.weights)
+                selected[order[min(n_best, self.size):]] = False
+            if min_weight:
+                selected &= self.weights >= min_weight
+        ci = self._cam_index(cam)
+        co = 0 if ci else 1
+        if max_error:
+            if scaled:
+                max_error = max_error * self.cams[ci].imgsz[0]
+            errors = np.linalg.norm(
+                self.observed(ci, index=selected) - self.predicted(ci, index=selected),
+                axis=1,
+            )
+            selected[selected] &= errors <= max_error
+        if max_distance and selected.any():
+            if scaled:
+                max_distance = max_distance * self.cams[ci].imgsz[0]
+            scale = self.cams[ci].imgsz / self.cams[co].imgsz
+            distances = np.linalg.norm(
+                self.observed(co, index=selected) * scale
+                - self.observed(ci, index=selected),
+                axis=1,
+            )
+            selected[selected] &= distances <= max_distance
+        if self.uvs:
+            self.uvs = [uv[selected] for uv in self.uvs]
+        else:
+            self.xys = [xy[selected] for xy in self.xys]
+        if self.weights is not None:
+            self.weights = self.weights[selected]
+
+    def plot(self, cam: CamIndex = 0, index: Index = slice(None), selected="red",
+             unselected="gray", **kwargs: Any) -> dict:
+        """Plot reprojection errors as quivers in one camera."""
+        c = self._cam_index(cam)
+        return _plot_quivers(
+            self.observed(cam=cam), self.predicted(cam=cam), self.cams[c], index,
+            selected, unselected, **kwargs,
+        )
+
+
+class RotationMatches(Matches):
+    """Matches between cameras separated by a pure rotation.
+
+    Normalized camera coordinates are precomputed, so camera internals must
+    not change after construction (optimize.py:743-832).
+    """
+
+    def __init__(self, cams, uvs=None, xys=None, weights=None) -> None:
+        self.cams = cams
+        self.uvs, self.xys = self._parse_uvs_xys(uvs, xys)
+        self.uvs = self._build_uvs()
+        self.xys = self._build_xys()
+        self.weights = weights
+        self._test_matches()
+        self._internals = [cam.to_array()[6:] for cam in self.cams]
+
+    def _parse_uvs_xys(self, uvs, xys):
+        if uvs is None and xys is None:
+            raise ValueError("Both uvs and xys are missing")
+        if uvs is not None:
+            uvs = [np.asarray(uv, dtype=float) for uv in uvs]
+        if xys is not None:
+            xys = [np.asarray(xy, dtype=float) for xy in xys]
+        return uvs, xys
+
+    def _build_xys(self) -> List[np.ndarray]:
+        if self.xys is None:
+            return [cam._uv_to_xy(uv) for cam, uv in zip(self.cams, self.uvs)]
+        return self.xys
+
+    def _build_uvs(self) -> Optional[List[np.ndarray]]:
+        if self.uvs is None:
+            return [cam._xy_to_uv(xy) for cam, xy in zip(self.cams, self.xys)]
+        return self.uvs
+
+    def _test_internals(self) -> None:
+        if any(
+            (cam._vector[6:] != v).any() for cam, v in zip(self.cams, self._internals)
+        ):
+            raise ValueError(
+                "Camera internal parameters (imgsz, f, c, k, p) have changed"
+            )
+
+    def predicted(self, cam: CamIndex = 0, index: Index = slice(None)) -> np.ndarray:
+        """Image coordinates predicted via the precomputed camera coordinates."""
+        self._test_position()
+        self._test_internals()
+        ci = self._cam_index(cam)
+        co = 0 if ci else 1
+        dxyz = self.cams[co]._xy_to_xyz(self.xys[co][index])
+        return self.cams[ci].xyz_to_uv(dxyz, directions=True)
+
+    def to_type(self, mtype: Type[Matches]) -> Matches:
+        """Convert to another matches type."""
+        if mtype is type(self):
+            return self
+        return mtype(cams=self.cams, uvs=self.uvs, weights=self.weights)
+
+
+class RotationMatchesXY(RotationMatches):
+    """RotationMatches whose residuals live in normalized camera coordinates.
+
+    Image coordinates may be dropped to save memory (optimize.py:835-919).
+    """
+
+    def __init__(self, cams, uvs=None, xys=None, weights=None) -> None:
+        self.cams = cams
+        self.uvs, self.xys = self._parse_uvs_xys(uvs, xys)
+        self.xys = self._build_xys()
+        self.weights = weights
+        self._test_matches()
+        self._internals = [cam.to_array()[6:] for cam in self.cams]
+
+    @property
+    def size(self) -> int:
+        """Number of point pairs."""
+        return len(self.xys[0])
+
+    def observed(self, cam: CamIndex = 0, index: Index = slice(None)) -> np.ndarray:
+        """Observed normalized camera coordinates."""
+        return self.xys[self._cam_index(cam)][index]
+
+    def predicted(self, cam: CamIndex = 0, index: Index = slice(None)) -> np.ndarray:
+        """Camera coordinates predicted from the other camera's observations."""
+        self._test_position()
+        self._test_internals()
+        ci = self._cam_index(cam)
+        co = 0 if ci else 1
+        dxyz = self.cams[co]._xy_to_xyz(self.xys[co][index])
+        return self.cams[ci]._xyz_to_xy(dxyz, directions=True)
+
+    def to_type(self, mtype: Type[Matches]) -> Matches:
+        """Convert to another matches type."""
+        if mtype is type(self):
+            return self
+        if mtype is Matches:
+            return mtype(cams=self.cams, uvs=self._build_uvs(), weights=self.weights)
+        return mtype(cams=self.cams, uvs=self.uvs, xys=self.xys, weights=self.weights)
+
+    def plot(self, *args: Any, **kwargs: Any) -> None:
+        """Plotting is not available in normalized coordinates."""
+        raise NotImplementedError()
+
+
+class RotationMatchesXYZ(RotationMatchesXY):
+    """RotationMatches whose predictions are unit world rays.
+
+    Exclusively for :class:`ObserverCameras` (optimize.py:922-974).
+    """
+
+    def predicted(self, cam: CamIndex = 0, index: Index = slice(None)) -> np.ndarray:
+        """Unit-length world ray directions for one camera's observations."""
+        self._test_position()
+        self._test_internals()
+        c = self._cam_index(cam)
+        dxyz = self.cams[c]._xy_to_xyz(self.xys[c][index])
+        return dxyz / np.linalg.norm(dxyz, ord=2, axis=1, keepdims=True)
+
+    def observed(self, *args: Any, **kwargs: Any) -> None:
+        """Observed coordinates are not available for RotationMatchesXYZ."""
+        raise NotImplementedError()
+
+
+def _plot_quivers(uv, puv, cam, index, selected, unselected, **kwargs):
+    """Shared quiver plotting for control objects."""
+    import matplotlib.pyplot as plt
+
+    new_plot = not plt.get_fignums()
+    defaults = {
+        "scale": 1, "scale_units": "xy", "angles": "xy", "units": "xy",
+        "width": cam.imgsz[0] * 0.005, **kwargs,
+    }
+    duv = puv - uv
+    full = np.arange(len(uv))
+    index, unindex = full[index], np.delete(full, index)
+    result = {}
+    for idx, args, label in [
+        (unindex, unselected, "unselected"),
+        (index, selected, "selected"),
+    ]:
+        if not len(idx) or args is None:
+            result[label] = None
+            continue
+        if not isinstance(args, dict):
+            args = {"color": args}
+        args = {**defaults, **args}
+        result[label] = plt.quiver(
+            uv[idx, 0], uv[idx, 1], duv[idx, 0], duv[idx, 1], **args
+        )
+    if new_plot:
+        cam.set_plot_limits()
+    return result
+
+
+# ---- Models (RANSAC-compatible: .size, .fit(index), .errors(params, index)) --
+
+
+class Polynomial:
+    """Least-squares polynomial model (RANSAC-compatible)."""
+
+    def __init__(self, xy, deg: int = 1) -> None:
+        self.xy = np.asarray(xy)
+        self.deg = deg
+
+    @property
+    def size(self) -> int:
+        """Number of observations."""
+        return len(self.xy)
+
+    def predict(self, params, index: Index = slice(None)) -> np.ndarray:
+        """Evaluate the polynomial at the x of the indexed points."""
+        return np.polyval(params, self.xy[index, 0])
+
+    def errors(self, params, index: Index = slice(None)) -> np.ndarray:
+        """Absolute prediction errors."""
+        return np.abs(self.predict(params, index) - self.xy[index, 1])
+
+    def fit(self, index: Index = slice(None)) -> np.ndarray:
+        """Least-squares polynomial coefficients (highest degree first)."""
+        return np.polyfit(self.xy[index, 0], self.xy[index, 1], deg=self.deg)
+
+    def plot(self, params=None, index: Index = slice(None), selected="red",
+             unselected="gray", predicted="red", **kwargs: Any) -> dict:
+        """Scatter the observations and draw the fitted polynomial."""
+        import matplotlib.pyplot as plt
+
+        if params is None:
+            params = self.fit(index)
+        result = {}
+        full = np.arange(self.size)
+        index, unindex = full[index], np.delete(full, index)
+        for idx, args, label in [
+            (unindex, unselected, "unselected"),
+            (index, selected, "selected"),
+        ]:
+            if not len(idx) or args is None:
+                result[label] = None
+                continue
+            if not isinstance(args, dict):
+                args = {"c": args}
+            result[label] = plt.scatter(
+                self.xy[idx, 0], self.xy[idx, 1], **{**args, **kwargs}
+            )
+        if predicted is None:
+            result["predicted"] = None
+        else:
+            if not isinstance(predicted, dict):
+                predicted = {"color": predicted}
+            result["predicted"] = plt.plot(
+                self.xy[:, 0], self.predict(params), **predicted
+            )
+        return result
+
+
+Control = Union[Points, Lines, Matches, RotationMatches]
+Params = Dict[str, Union[bool, int, Iterable[int], tuple]]
+
+_ATTRIBUTES = ("xyz", "viewdir", "imgsz", "f", "c", "k", "p")
+_OFFSETS = (0, 3, 6, 8, 10, 12, 18, 20)
+
+
+class Cameras:
+    """Multi-camera bundle adjustment over masked camera parameters.
+
+    Cameras may share groups of parameters (synchronized across a group) and
+    have per-camera free parameters; the optimizer is
+    ``scipy.optimize.least_squares`` with per-parameter scale factors and a
+    control x camera block sparsity structure (optimize.py:1133-1971).
+    """
+
+    def __init__(
+        self,
+        cams,
+        controls,
+        cam_params=None,
+        group_indices=None,
+        group_params=None,
+        weights=None,
+        scales: bool = True,
+        sparsity: bool = True,
+    ) -> None:
+        if isinstance(cams, Camera):
+            cams = [cams]
+        if isinstance(controls, (Points, Lines, Matches)):
+            controls = [controls]
+        if isinstance(cam_params, dict):
+            cam_params = [cam_params]
+        if isinstance(group_indices, int):
+            group_indices = [group_indices]
+        if group_indices is not None and isinstance(group_indices[0], int):
+            group_indices = [group_indices]
+        if isinstance(group_params, dict):
+            group_params = [group_params]
+        self.cams = list(cams)
+        self.controls = self.prune_controls(controls, cams=self.cams)
+        ncams = len(self.cams)
+        self.cam_params = cam_params if cam_params is not None else [{}] * ncams
+        self.group_indices = (
+            group_indices if group_indices is not None else [list(range(ncams))]
+        )
+        self.group_params = (
+            group_params
+            if group_params is not None
+            else [{}] * len(self.group_indices)
+        )
+        self.weights = weights
+        self.update_params()
+        self._test()
+        self.vectors = [cam.to_array() for cam in self.cams]
+        self.scales = None
+        if scales:
+            self._build_scales()
+        self.sparsity = None
+        if sparsity:
+            self._build_sparsity()
+
+    # -- weights -- #
+
+    @property
+    def weights(self):
+        """Per-point weights, normalized to mean 1."""
+        return self._weights
+
+    @weights.setter
+    def weights(self, value) -> None:
+        if value is None:
+            self._weights = None
+        else:
+            value = np.atleast_2d(value).reshape(-1, 1)
+            self._weights = value * len(value) / sum(value)
+
+    # -- static helpers -- #
+
+    @staticmethod
+    def _get_control_cams(control) -> List[Camera]:
+        if isinstance(control, (Points, Lines)):
+            return [control.cam]
+        return list(control.cams)
+
+    @classmethod
+    def prune_controls(cls, controls, cams) -> list:
+        """Keep only controls that reference at least one of the cameras."""
+        return [
+            control
+            for control in controls
+            if set(cams) & set(cls._get_control_cams(control))
+        ]
+
+    @staticmethod
+    def camera_scales(cam: Camera, controls=None) -> np.ndarray:
+        """Per-parameter scale factors: change producing ~1 px of motion.
+
+        Analytic pixels-per-unit heuristics for each of the 20 parameters
+        (optimize.py:1326-1407), inverted to units per pixel.
+        """
+        dpixels = np.ones(20, dtype=float)
+        mean_r_uv = (cam.imgsz.mean() / 6) * (np.sqrt(2) + np.log(1 + np.sqrt(2)))
+        mean_r_xy = mean_r_uv / cam.f.mean()
+        if controls:
+            xyz = []
+            for control in controls:
+                if (
+                    isinstance(control, (Points, Lines))
+                    and cam is control.cam
+                    and not control.directions
+                ):
+                    if hasattr(control, "xyz"):
+                        xyz.append(control.xyz)
+                    elif hasattr(control, "xyzs"):
+                        xyz.extend(control.xyzs)
+            if xyz:
+                dpixels[0:3] = (
+                    cam.f.mean() / np.linalg.norm(np.vstack(xyz) - cam.xyz).mean()
+                )
+        imgsz_degrees = (2 * np.arctan(cam.imgsz / (2 * cam.f))) * (180 / np.pi)
+        dpixels[3:5] = cam.imgsz / imgsz_degrees
+        theta = np.pi / 180
+        dpixels[5] = 2 * mean_r_uv * np.sin(theta / 2)
+        dpixels[6:8] = 0.5
+        dpixels[8:10] = mean_r_xy
+        dpixels[10:12] = 1
+        dpixels[12:18] = [
+            mean_r_xy ** 3 * cam.f.mean() * 2 ** 0.5,
+            mean_r_xy ** 5 * cam.f.mean() * 2 ** 1.5,
+            mean_r_xy ** 7 * cam.f.mean() * 2 ** 2.5,
+            mean_r_xy ** 3 / (1 + cam.k[3] * mean_r_xy ** 2) * cam.f.mean() * 2 ** 0.5,
+            mean_r_xy ** 5 / (1 + cam.k[4] * mean_r_xy ** 4) * cam.f.mean() * 2 ** 1.5,
+            mean_r_xy ** 7 / (1 + cam.k[5] * mean_r_xy ** 6) * cam.f.mean() * 2 ** 2.5,
+        ]
+        dpixels[18:20] = np.sqrt(5) * mean_r_xy ** 2 * cam.f.mean()
+        return 1 / dpixels
+
+    @staticmethod
+    def camera_bounds(cam: Camera) -> np.ndarray:
+        """Default parameter bounds (distortion limits from undistort stability)."""
+        k = cam.f.mean() / 4000
+        p = cam.f.mean() / 40000
+        bounds = np.full((20, 2), [-np.inf, np.inf], dtype=float)
+        bounds[6:10] = [0, np.inf]
+        bounds[10] = np.array([-0.5, 0.5]) * cam.imgsz[0]
+        bounds[11] = np.array([-0.5, 0.5]) * cam.imgsz[1]
+        bounds[12] = [-k, k]
+        bounds[13] = [-k / 2, k / 2]
+        bounds[14] = [-k / 2, k / 2]
+        bounds[15:18] = [-k, k]
+        bounds[18:20] = [-p, p]
+        return bounds
+
+    @staticmethod
+    def parse_params(params: Params = None, default_bounds=None):
+        """Parse a parameter selection dict into a (20,) mask and (20, 2) bounds.
+
+        Selections: {'viewdir': True} (all), {'viewdir': 0} (one index),
+        {'viewdir': [0, 1]}, or with bounds {'viewdir': (indices, min, max)}.
+        """
+        if params is None:
+            params = {}
+        mask = np.zeros(20, dtype=bool)
+        bounds = np.full((20, 2), np.nan)
+        for key, value in params.items():
+            if key not in _ATTRIBUTES:
+                continue
+            selection = value[0] if isinstance(value, tuple) else value
+            i = _ATTRIBUTES.index(key)
+            if selection or selection == 0:
+                if selection is True:
+                    positions = np.arange(_OFFSETS[i], _OFFSETS[i + 1])
+                else:
+                    positions = _OFFSETS[i] + np.atleast_1d(selection)
+                mask[positions] = True
+            if isinstance(value, tuple):
+                min_bounds = np.atleast_1d(value[1]).astype(float)
+                if len(min_bounds) == 1:
+                    min_bounds = np.repeat(min_bounds, len(positions))
+                max_bounds = np.atleast_1d(value[2]).astype(float)
+                if len(max_bounds) == 1:
+                    max_bounds = np.repeat(max_bounds, len(positions))
+                bounds[positions] = np.column_stack((min_bounds, max_bounds))
+        if default_bounds is not None:
+            missing = np.isnan(bounds)
+            bounds[missing] = default_bounds[missing]
+        missing = np.isnan(bounds)
+        bounds[missing[:, 0], 0] = -np.inf
+        bounds[missing[:, 1], 1] = np.inf
+        return mask, bounds
+
+    # -- parameter bookkeeping -- #
+
+    def update_params(self) -> None:
+        """Rebuild masks, bounds, values, and index breaks from current state."""
+        cam_bounds = [self.camera_bounds(cam) for cam in self.cams]
+        parsed = [
+            self.parse_params(params, default_bounds=bounds)
+            for params, bounds in zip(self.cam_params, cam_bounds)
+        ]
+        self.cam_masks = [mask for mask, _ in parsed]
+        cam_bounds = [bounds for _, bounds in parsed]
+        self.group_masks = []
+        group_bounds = []
+        for group, idx in enumerate(self.group_indices):
+            defaults = np.column_stack(
+                (
+                    np.column_stack([cam_bounds[i][:, 0] for i in idx]).max(axis=1),
+                    np.column_stack([cam_bounds[i][:, 1] for i in idx]).min(axis=1),
+                )
+            )
+            mask, bounds = self.parse_params(
+                self.group_params[group], default_bounds=defaults
+            )
+            self.group_masks.append(mask)
+            group_bounds.append(bounds)
+        # Parameter vector layout: [group0 | group1 | ... | cam0 | cam1 | ...].
+        values, lower, upper = [], [], []
+        for group, idx in enumerate(self.group_indices):
+            mask = self.group_masks[group]
+            group_values = np.nanmean(
+                np.vstack([self.cams[i]._vector[mask] for i in idx]), axis=0
+            )
+            values.extend(group_values)
+            lower.extend(group_bounds[group][mask, 0])
+            upper.extend(group_bounds[group][mask, 1])
+        for i, mask in enumerate(self.cam_masks):
+            values.extend(self.cams[i]._vector[mask])
+            lower.extend(cam_bounds[i][mask, 0])
+            upper.extend(cam_bounds[i][mask, 1])
+        self.values = np.asarray(values, dtype=float)
+        self.bounds = (np.asarray(lower, dtype=float), np.asarray(upper, dtype=float))
+        self.group_breaks = np.cumsum(
+            [0] + [int(mask.sum()) for mask in self.group_masks]
+        )
+        self.cam_breaks = np.cumsum(
+            [self.group_breaks[-1]] + [int(mask.sum()) for mask in self.cam_masks]
+        )
+
+    def _test(self) -> None:
+        """Guard against configurations with undefined behavior."""
+        if not len(self.controls):
+            raise ValueError("No controls reference the cameras")
+        for i, idx in enumerate(self.group_indices):
+            fc = "f" in self.group_params[i] or "c" in self.group_params[i]
+            sizes = np.unique(np.vstack([self.cams[j].imgsz for j in idx]), axis=0)
+            if fc and len(sizes) > 1:
+                raise ValueError(
+                    f"Group {i}: 'f' or 'c' in parameters but image sizes not equal"
+                )
+        M = np.vstack(self.group_masks)
+        overlaps = np.nonzero(np.count_nonzero(M, axis=0) > 1)[0]
+        for i in overlaps:
+            groups = np.nonzero(M[:, i])[0]
+            idx = np.concatenate([self.group_indices[g] for g in groups])
+            if len(np.unique(idx)) < len(idx):
+                raise ValueError(
+                    "Some cameras are in multiple groups with overlapping masks"
+                )
+        control_cams = [
+            cam for control in self.controls for cam in self._get_control_cams(control)
+        ]
+        cams_with_params = [
+            cam
+            for i, cam in enumerate(self.cams)
+            if self.cam_params[i]
+            or any(
+                self.group_params[j]
+                for j, idx in enumerate(self.group_indices)
+                if i in idx
+            )
+        ]
+        if set(cams_with_params) - set(control_cams):
+            raise ValueError("Not all cameras with params appear in controls")
+
+    def _build_scales(self) -> None:
+        scales = [self.camera_scales(cam, self.controls) for cam in self.cams]
+        cam_scales = [scale[mask] for scale, mask in zip(scales, self.cam_masks)]
+        group_scales = [
+            np.nanmean(np.vstack([scales[i][mask] for i in idx]), axis=0)
+            for mask, idx in zip(self.group_masks, self.group_indices)
+        ]
+        parts = group_scales + cam_scales
+        self.scales = np.hstack([p for p in parts if len(p)]) if any(
+            len(p) for p in parts
+        ) else None
+
+    def _build_sparsity(self) -> None:
+        """Control x parameter block sparsity for the Jacobian estimate."""
+        m_control = [2 * control.size for control in self.controls]
+        m = sum(m_control)
+        n = int(self.cam_breaks[-1])
+        groups = np.zeros((len(self.cams), len(self.group_indices)), dtype=bool)
+        for i, idx in enumerate(self.group_indices):
+            groups[list(idx), i] = True
+        S = scipy.sparse.lil_matrix((m, n), dtype=int)
+        control_breaks = np.cumsum([0] + m_control)
+        for i, control in enumerate(self.controls):
+            ctrl_slice = slice(control_breaks[i], control_breaks[i + 1])
+            for cam in self._get_control_cams(control):
+                try:
+                    j = self.cams.index(cam)
+                except ValueError:
+                    continue
+                S[ctrl_slice, self.cam_breaks[j] : self.cam_breaks[j + 1]] = 1
+                for group in np.nonzero(groups[j])[0]:
+                    S[
+                        ctrl_slice,
+                        self.group_breaks[group] : self.group_breaks[group + 1],
+                    ] = 1
+        self.sparsity = S
+
+    # -- camera parameter application -- #
+
+    def set_cameras(self, params, save: bool = False) -> None:
+        """Write a parameter vector into the camera 20-vectors."""
+        params = np.asarray(params, dtype=float)
+        for i, idx in enumerate(self.group_indices):
+            for j in idx:
+                self.cams[j]._vector[self.group_masks[i]] = params[
+                    self.group_breaks[i] : self.group_breaks[i + 1]
+                ]
+                self.cams[j]._vector[self.cam_masks[j]] = params[
+                    self.cam_breaks[j] : self.cam_breaks[j + 1]
+                ]
+        if save:
+            self.vectors = [cam.to_array() for cam in self.cams]
+
+    def reset_cameras(self) -> None:
+        """Restore cameras to their previously saved state."""
+        for cam, vector in zip(self.cams, self.vectors):
+            cam._vector = vector.copy()
+
+    # -- residuals -- #
+
+    @property
+    def size(self) -> int:
+        """Total number of control points."""
+        return int(np.sum([control.size for control in self.controls]))
+
+    def observed(self, index: Index = slice(None)) -> np.ndarray:
+        """Observed coordinates over all controls."""
+        if len(self.controls) == 1:
+            return self.controls[0].observed(index=index)
+        return np.vstack([control.observed() for control in self.controls])[index]
+
+    def predicted(self, params=None, index: Index = slice(None)) -> np.ndarray:
+        """Predicted coordinates over all controls (optionally at params)."""
+        if params is not None:
+            vectors = [cam.to_array() for cam in self.cams]
+            self.set_cameras(params)
+        if len(self.controls) == 1:
+            result = self.controls[0].predicted(index=index)
+        else:
+            result = np.vstack(
+                [control.predicted() for control in self.controls]
+            )[index]
+        if params is not None:
+            for cam, vector in zip(self.cams, vectors):
+                cam._vector = vector
+        return result
+
+    def residuals(self, params=None, index: Index = slice(None)) -> np.ndarray:
+        """Weighted residuals (predicted - observed), shape (n, 2)."""
+        d = self.predicted(params=params, index=index) - self.observed(index=index)
+        if self.weights is None:
+            return d
+        return d * self.weights[index]
+
+    def errors(self, params=None, index: Index = slice(None)) -> np.ndarray:
+        """Euclidean reprojection errors (n,)."""
+        return np.linalg.norm(self.residuals(params=params, index=index), axis=1)
+
+    def fit(
+        self,
+        index: Index = slice(None),
+        cam_params=None,
+        group_params=None,
+        full: bool = False,
+        method: str = "least_squares",
+        verbose: bool = False,
+        **kwargs: Any,
+    ):
+        """Optimal parameter vector minimizing the reprojection residuals.
+
+        Direct ``scipy.optimize.least_squares`` driver (Trust Region
+        Reflective with bounds) using the per-parameter scales as ``x_scale``
+        and the block structure as ``jac_sparsity``. ``cam_params``/
+        ``group_params`` run staged pre-fits like the reference
+        (optimize.py:1781-1878).
+        """
+        iterations = max(
+            len(cam_params) if cam_params else 0,
+            len(group_params) if group_params else 0,
+        )
+        if iterations:
+            for n in range(iterations):
+                model = Cameras(
+                    cams=self.cams,
+                    controls=self.controls,
+                    cam_params=cam_params[n] if cam_params else self.cam_params,
+                    group_params=(
+                        group_params[n] if group_params else self.group_params
+                    ),
+                )
+                values = model.fit(index=index, method=method, **kwargs)
+                if values is not None:
+                    model.set_cameras(params=values)
+            self.update_params()
+        options = dict(kwargs)
+        if self.scales is not None and len(self.scales):
+            options.setdefault("x_scale", self.scales)
+        if self.sparsity is not None:
+            if isinstance(index, slice) and index == slice(None):
+                options.setdefault("jac_sparsity", self.sparsity)
+            else:
+                jac_index = (
+                    np.arange(self.size)[index]
+                    if isinstance(index, slice)
+                    else np.asarray(index)
+                )
+                jac_index = np.dstack((2 * jac_index, 2 * jac_index + 1)).ravel()
+                options.setdefault("jac_sparsity", self.sparsity[jac_index])
+
+        def fun(params: np.ndarray) -> np.ndarray:
+            r = self.residuals(params=params, index=index).ravel()
+            return np.nan_to_num(r, nan=0.0)
+
+        lower, upper = self.bounds
+        # TRF requires strictly interior starting points.
+        x0 = np.clip(self.values, lower + 1e-12, upper - 1e-12)
+        result = scipy.optimize.least_squares(
+            fun, x0=x0, bounds=(lower, upper), verbose=1 if verbose else 0, **options
+        )
+        if iterations:
+            self.reset_cameras()
+            self.update_params()
+        if not result.success:
+            print(result.message)
+        if full:
+            return result
+        if result.success:
+            return result.x
+        return None
+
+    def plot(self, params=None, cam: CamIndex = 0, index: Index = slice(None),
+             **kwargs: Any) -> list:
+        """Plot reprojection errors for one camera across its controls."""
+        if params is not None:
+            vectors = [c.to_array() for c in self.cams]
+            self.set_cameras(params)
+        cam = self.cams[cam] if isinstance(cam, int) else cam
+        results = [
+            control.plot(index=index, **kwargs)
+            if not isinstance(control, Matches)
+            else control.plot(cam=cam, index=index, **kwargs)
+            for control in self.prune_controls(self.controls, cams=[cam])
+        ]
+        if params is not None:
+            for c, vector in zip(self.cams, vectors):
+                c._vector = vector
+        return results
+
+
+# ---- Observer stabilization ---- #
+
+
+class ObserverCameras:
+    """Globally optimal view directions for an Observer's image sequence.
+
+    Minimizes the L1 norm of unit-ray differences over all matched keypoint
+    pairs plus quadratic anchor terms. The reference walks a Python loop of
+    match pairs with a hand-coded gradient (optimize.py:2024-2083); here all
+    pairs flatten into segmented arrays and ``jax.value_and_grad`` of the
+    fused objective supplies the exact gradient in one device call.
+    """
+
+    def __init__(self, observer, matches=None, anchors: Iterable[int] = None) -> None:
+        self.observer = observer
+        self.anchors = [0] if anchors is None else list(anchors)
+        self.matches = matches
+        self._matcher = None
+        self.viewdirs = np.vstack(
+            [img.cam.viewdir.copy() for img in self.observer.images]
+        )
+
+    @property
+    def matcher(self) -> "KeypointMatcher":
+        """KeypointMatcher over the observer's images (built on first use)."""
+        if self._matcher is None:
+            self._matcher = KeypointMatcher(images=self.observer.images)
+        return self._matcher
+
+    def set_cameras(self, viewdirs) -> None:
+        """Write view directions into the Observer's cameras."""
+        for i, img in enumerate(self.observer.images):
+            img.cam.viewdir = viewdirs[i]
+
+    def reset_cameras(self) -> None:
+        """Restore original view directions."""
+        self.set_cameras(viewdirs=self.viewdirs.copy())
+
+    def build_keypoints(self, **kwargs: Any) -> None:
+        """Detect keypoints for all images (see KeypointMatcher)."""
+        self.matcher.build_keypoints(**kwargs)
+
+    def build_matches(self, **kwargs: Any) -> None:
+        """Match keypoints between images and convert to RotationMatchesXYZ."""
+        self.matcher.build_matches(**kwargs)
+        self.matcher.convert_matches(RotationMatchesXYZ)
+        self.matches = self.matcher.matches
+
+    def _flatten_matches(self):
+        """Flatten the match matrix into (xyA, xyB, imgA, imgB) arrays."""
+        matches = self.matches
+        if not scipy.sparse.issparse(matches):
+            matches = scipy.sparse.coo_matrix(matches)
+        xa, xb, ia, ib = [], [], [], []
+        for m, i, j in zip(matches.data, matches.row, matches.col):
+            xa.append(m.xys[0])
+            xb.append(m.xys[1])
+            ia.append(np.full(m.size, i, dtype=np.int32))
+            ib.append(np.full(m.size, j, dtype=np.int32))
+        return (
+            np.vstack(xa), np.vstack(xb),
+            np.concatenate(ia), np.concatenate(ib),
+        )
+
+    def fit(self, anchor_weight: Number = 1e6, method: str = "bfgs",
+            tol: float = None, **kwargs: Any):
+        """Optimal view directions via BFGS on the device-fused objective."""
+        import jax
+        import jax.numpy as jnp
+
+        from .ops import projection as proj
+
+        xa, xb, ia, ib = self._flatten_matches()
+        xa = jnp.asarray(xa)
+        xb = jnp.asarray(xb)
+        ia = jnp.asarray(ia)
+        ib = jnp.asarray(ib)
+        anchors = jnp.asarray(self.anchors, dtype=jnp.int32)
+        viewdirs_0 = jnp.asarray(self.viewdirs)
+
+        def unit_rays(viewdirs, xys, idx):
+            R = proj.rotation_matrix(viewdirs, xp=jnp)  # (n_imgs, 3, 3)
+            Ri = R[idx]  # (M, 3, 3)
+            ones = jnp.ones(xys.shape[:-1] + (1,), dtype=xys.dtype)
+            xyw = jnp.concatenate([xys, ones], axis=-1)  # (M, 3) camera coords
+            dxyz = jnp.einsum("mi,mij->mj", xyw, Ri)  # = xyw @ R (rows)
+            return dxyz / jnp.linalg.norm(dxyz, axis=-1, keepdims=True)
+
+        def objective(flat):
+            viewdirs = flat.reshape(-1, 3)
+            ra = unit_rays(viewdirs, xa, ia)
+            rb = unit_rays(viewdirs, xb, ib)
+            obj = jnp.sum(jnp.abs(ra - rb))
+            danchor = viewdirs[anchors] - viewdirs_0[anchors]
+            obj = obj + (anchor_weight / 2.0) * jnp.sum(danchor ** 2)
+            return obj
+
+        value_and_grad = jax.jit(jax.value_and_grad(objective))
+
+        def fun(x):
+            v, g = value_and_grad(jnp.asarray(x))
+            return float(v), np.asarray(g, dtype=float)
+
+        result = scipy.optimize.minimize(
+            fun=fun, x0=self.viewdirs.ravel(), jac=True, method=method, tol=tol,
+            **kwargs,
+        )
+        self.reset_cameras()
+        if not result.success:
+            print(result.message)
+        return result
+
+
+# ---- RANSAC ---- #
+
+
+def ransac(
+    model,
+    n: int,
+    max_error: float,
+    min_inliers: int,
+    iterations: int = 100,
+    rng: np.random.Generator = None,
+    **kwargs: Any,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Random Sample Consensus over any model with .size/.fit/.errors.
+
+    Samples are drawn without replacement and never repeat
+    (optimize.py:2091-2188).
+    """
+    if rng is None:
+        rng = np.random.default_rng()
+    params = None
+    err = np.inf
+    inliers = None
+    full = np.arange(model.size)
+    for maybe_idx in _ransac_samples(n=n, size=model.size, iterations=iterations, rng=rng):
+        maybe_params = model.fit(maybe_idx, **kwargs)
+        if maybe_params is None:
+            continue
+        test_idx = np.delete(full, maybe_idx)
+        test_errs = model.errors(maybe_params, test_idx)
+        also_idx = test_idx[test_errs < max_error]
+        if len(also_idx) > min_inliers:
+            better_idx = np.concatenate((maybe_idx, also_idx))
+            better_params = model.fit(better_idx, **kwargs)
+            if better_params is None:
+                continue
+            this_err = np.mean(model.errors(better_params, better_idx))
+            if this_err < err:
+                params = better_params
+                err = this_err
+                inliers = better_idx
+    if params is None:
+        raise ValueError("Best fit does not meet acceptance criteria")
+    inliers = np.where(model.errors(params) <= max_error)[0]
+    return params, inliers
+
+
+def _ransac_samples(
+    n: int, size: int, iterations: int = 100, rng: np.random.Generator = None
+) -> Generator[List[int], None, None]:
+    """Yield non-repeating random index samples of size n."""
+    if rng is None:
+        rng = np.random.default_rng()
+    if n >= size:
+        raise ValueError("Sample size is larger or equal to total size")
+    log = math.lgamma(size + 1) - math.lgamma(n + 1) - math.lgamma(size - n + 1)
+    if log < 700:  # avoid float overflow in exp
+        iterations = min(iterations, int(np.floor(np.exp(log))))
+    seen = set()
+    indices = np.arange(size)
+    while len(seen) < iterations:
+        rng.shuffle(indices)
+        sample = frozenset(indices[:n])
+        if sample not in seen:
+            yield list(sample)
+            seen.add(sample)
+
+
+# ---- Keypoints (host-side OpenCV feeders) ---- #
+
+
+def detect_keypoints(array, mask=None, method=None, root: bool = False, **kwargs):
+    """Detect keypoints and descriptors (SIFT by default, RootSIFT optional)."""
+    if cv2 is None:
+        raise ImportError("OpenCV is required for keypoint detection")
+    if method is None:
+        method = cv2.SIFT
+    array = np.asarray(array, dtype=np.uint8)
+    if mask is not None:
+        mask = np.asarray(mask, dtype=np.uint8)
+    detector = method.create(**kwargs)
+    keypoints, descriptors = detector.detectAndCompute(array, mask=mask)
+    if root and descriptors is not None:
+        descriptors = np.sqrt(
+            descriptors / (descriptors.sum(axis=1, keepdims=True) + 1e-7)
+        )
+    return keypoints, descriptors
+
+
+def match_keypoints(
+    ka,
+    kb,
+    mask=None,
+    cross_check: bool = False,
+    max_ratio: float = None,
+    max_distance: float = None,
+    return_ratios: bool = False,
+    matcher=None,
+):
+    """Match keypoint descriptors (FLANN kNN with Lowe ratio and cross check).
+
+    Returns matched coordinates (n, 2) in each image (+ ratios if requested).
+    """
+    if cv2 is None:
+        raise ImportError("OpenCV is required for keypoint matching")
+    if matcher is None:
+        matcher = cv2.FlannBasedMatcher()
+
+    def empty():
+        e = np.array([], dtype=float).reshape(0, 2)
+        if return_ratios:
+            return e, e.copy(), np.array([], dtype=float)
+        return e, e.copy()
+
+    if mask is not None:
+        mask = np.asarray(mask, dtype=np.uint8)
+    compute_ratios = max_ratio or return_ratios
+    k = 2 if compute_ratios else 1
+    if len(ka[0]) < k or len(kb[0]) < k:
+        return empty()
+    matches = matcher.knnMatch(ka[1], kb[1], k=k, mask=mask)
+    if cross_check:
+        matches_ba = matcher.knnMatch(kb[1], ka[1], k=k, mask=mask)
+        ba = {(m[0].trainIdx, m[0].queryIdx) for m in matches_ba}
+        matches = [m for m in matches if (m[0].queryIdx, m[0].trainIdx) in ba]
+    if max_ratio:
+        matches = [m for m in matches if m[0].distance / m[1].distance < max_ratio]
+    if not matches:
+        return empty()
+    uva = np.asarray([ka[0][m[0].queryIdx].pt for m in matches])
+    uvb = np.asarray([kb[0][m[0].trainIdx].pt for m in matches])
+    if return_ratios:
+        ratios = np.array([m.distance / n_.distance for m, n_ in matches])
+    if max_distance:
+        valid = np.linalg.norm(uva - uvb, axis=1) < max_distance
+        uva, uvb = uva[valid], uvb[valid]
+        if return_ratios:
+            ratios = ratios[valid]
+    if return_ratios:
+        return uva, uvb, ratios
+    return uva, uvb
+
+
+class KeypointMatcher:
+    """Sequence-scale keypoint detection and time-windowed pair matching.
+
+    Keypoints and per-pair matches are memoized to pickle files; matches are
+    stored as an upper-triangular COO matrix of :class:`Matches`
+    (optimize.py:2312-2773).
+    """
+
+    def __init__(self, images: Iterable[Image], clahe=False) -> None:
+        images = list(images)
+        dts = np.diff([img.datetime for img in images])
+        if np.any(dts < datetime.timedelta(0)):
+            raise ValueError("Images are not in ascending temporal order")
+        self.images = np.asarray(images, dtype=object)
+        if clahe is False or cv2 is None:
+            self.clahe = None
+        else:
+            if clahe is True:
+                clahe = {}
+            self.clahe = cv2.createCLAHE(**clahe)
+        self.keypoints = None
+        self.matches = None
+
+    def _basenames(self) -> List[str]:
+        basenames = [helpers.strip_path(img.path) for img in self.images]
+        if len(basenames) != len(set(basenames)):
+            raise ValueError("Image basenames are not unique")
+        return basenames
+
+    def _prepare_image(self, array: np.ndarray) -> np.ndarray:
+        if array.ndim > 2:
+            array = array.mean(axis=2)
+        array = array.astype(np.uint8, copy=False)
+        if self.clahe is not None:
+            array = self.clahe.apply(array)
+        return array
+
+    def build_keypoints(
+        self,
+        masks=None,
+        path=None,
+        overwrite: bool = False,
+        clear_images: bool = True,
+        clear_keypoints: bool = False,
+        parallel=False,
+        **kwargs: Any,
+    ) -> None:
+        """Detect (or load cached) keypoints for every image."""
+        if path:
+            path = Path(path)
+        if clear_keypoints and not path:
+            raise ValueError("path is required when clear_keypoints is True")
+        if path and path.is_file():
+            raise ValueError("path must be a directory")
+        basenames = self._basenames()
+        if masks is None or isinstance(masks, np.ndarray):
+            masks = [masks] * len(self.images)
+        parallel = helpers._parse_parallel(parallel)
+        if not self.keypoints:
+            self.keypoints = [None] * len(self.images)
+
+        def process(i: int, img: Image):
+            outpath = path / f"{basenames[i]}.pkl" if path else None
+            written = outpath.exists() if outpath else False
+            keypoints = self.keypoints[i]
+            read = keypoints is not None
+            if not read and written and not clear_keypoints:
+                keypoints = helpers.read_pickle(outpath)
+            elif read and not written and path:
+                helpers.write_pickle(keypoints, path=outpath)
+            elif (not read and not written) or overwrite:
+                array = self._prepare_image(img.read())
+                keypoints = detect_keypoints(array, mask=masks[i], **kwargs)
+                if path:
+                    helpers.write_pickle(keypoints, path=outpath)
+                if clear_images:
+                    img.array = None
+            if clear_keypoints:
+                keypoints = None
+            return keypoints
+
+        with config.backend(np=parallel) as pool:
+            self.keypoints = pool.map(
+                func=process, sequence=tuple(enumerate(self.images)), star=True
+            )
+
+    def build_matches(
+        self,
+        maxdt: datetime.timedelta = None,
+        seq: Iterable[int] = None,
+        imgs: Iterable[int] = None,
+        keypoints_path=None,
+        path=None,
+        overwrite: bool = False,
+        clear_keypoints: bool = True,
+        clear_matches: bool = False,
+        parallel=False,
+        weights: bool = False,
+        mtype=None,
+        filter: dict = None,
+        **kwargs: Any,
+    ) -> None:
+        """Match each image to its temporal neighbors (maxdt window / seq offsets)."""
+        if path:
+            path = Path(path)
+        if keypoints_path:
+            keypoints_path = Path(keypoints_path)
+        if clear_matches and not path:
+            raise ValueError("path is required when clear_matches is True")
+        if path and path.is_file():
+            raise ValueError("path must be a directory")
+        parallel = helpers._parse_parallel(parallel)
+        kwargs = {**kwargs, "return_ratios": weights}
+        basenames = self._basenames()
+        if self.keypoints is None:
+            self.keypoints = [None] * len(self.images)
+        if any(k is None for k in self.keypoints) and not keypoints_path:
+            raise ValueError("Missing keypoints so keypoints_path is required")
+        n = len(self.images)
+        if maxdt is None and seq is None:
+            matching_images = [np.arange(i + 1, n) for i in range(n)]
+        elif maxdt is not None:
+            datetimes = np.array([img.datetime for img in self.images])
+            ends = np.searchsorted(datetimes, datetimes + maxdt, side="right")
+            matching_images = [np.arange(i + 1, end) for i, end in enumerate(ends)]
+        else:
+            matching_images = [np.array([], dtype=int) for _ in range(n)]
+        if seq is not None:
+            seq = np.asarray(seq)
+            seq = np.unique(seq[seq > 0])
+            for i, m in enumerate(matching_images):
+                iseq = seq + i
+                iseq = iseq[: np.searchsorted(iseq, n)]
+                matching_images[i] = np.unique(np.concatenate((m, iseq)))
+        if imgs is not None:
+            for i, m in enumerate(matching_images):
+                matching_images[i] = m if i in imgs else m[np.isin(m, imgs)]
+
+        def process(i: int, js: np.ndarray):
+            matches = []
+            imgA = self.images[i]
+            if self.keypoints[i] is None:
+                self.keypoints[i] = helpers.read_pickle(
+                    keypoints_path / f"{basenames[i]}.pkl"
+                )
+            for j in js:
+                imgB = self.images[j]
+                if self.keypoints[j] is None:
+                    self.keypoints[j] = helpers.read_pickle(
+                        keypoints_path / f"{basenames[j]}.pkl"
+                    )
+                outfile = (
+                    path / f"{basenames[i]}-{basenames[j]}.pkl" if path else None
+                )
+                if outfile and not overwrite and outfile.exists():
+                    if not clear_matches:
+                        match = helpers.read_pickle(outfile)
+                        match.cams = (imgA.cam, imgB.cam)
+                        if mtype is not None:
+                            match = match.to_type(mtype)
+                        matches.append(match)
+                else:
+                    result = match_keypoints(
+                        self.keypoints[i], self.keypoints[j], **kwargs
+                    )
+                    match = Matches(
+                        cams=(imgA.cam, imgB.cam),
+                        uvs=list(result[0:2]),
+                        weights=(1 / result[2]) if weights else None,
+                    )
+                    if outfile is not None:
+                        helpers.write_pickle(match, outfile)
+                    if not clear_matches:
+                        if mtype is not None:
+                            match = match.to_type(mtype)
+                        matches.append(match)
+            if clear_keypoints:
+                self.keypoints[i] = None
+            return None if clear_matches else matches
+
+        def reduce(matches):
+            if filter and matches:
+                for match in matches:
+                    if match:
+                        match.filter(**filter)
+            return matches
+
+        with config.backend(np=parallel) as pool:
+            results = pool.map(
+                func=process,
+                reduce=reduce,
+                star=True,
+                sequence=tuple(enumerate(matching_images)),
+            )
+        if clear_matches:
+            self.matches = None
+            return
+        data = np.concatenate([np.asarray(r, dtype=object) for r in results])
+        rows = np.concatenate(
+            [np.full(len(row), i, dtype=int) for i, row in enumerate(matching_images)]
+        )
+        cols = np.concatenate(matching_images) if len(matching_images) else np.array([])
+        matches = scipy.sparse.coo_matrix((np.ones(len(data)), (rows, cols)))
+        matches.data = data
+        self.matches = matches
+        self._assign_cameras()
+
+    def _test_matches(self) -> None:
+        if self.matches is None:
+            raise ValueError("Matches have not been initialized. Run build_matches()")
+
+    def _assign_cameras(self) -> None:
+        for m, i, j in zip(self.matches.data, self.matches.row, self.matches.col):
+            m.cams = (self.images[i].cam, self.images[j].cam)
+
+    def convert_matches(self, mtype, clear_uvs: bool = False, parallel=False) -> None:
+        """Convert all matches to a different type (optionally dropping uvs)."""
+        self._test_matches()
+        for i, m in enumerate(self.matches.data):
+            m = m.to_type(mtype)
+            if clear_uvs and mtype in (RotationMatchesXY, RotationMatchesXYZ):
+                m.uvs = None
+            self.matches.data[i] = m
+
+    def filter_matches(self, clear_weights: bool = False, **kwargs: Any) -> None:
+        """Filter all matches in place."""
+        self._test_matches()
+        for m in self.matches.data:
+            if kwargs:
+                m.filter(**kwargs)
+            if clear_weights:
+                m.weights = None
+
+    def _images_mask(self, imgs) -> np.ndarray:
+        if np.iterable(imgs):
+            return np.isin(self.matches.row, imgs) | np.isin(self.matches.col, imgs)
+        return (self.matches.row == imgs) | (self.matches.col == imgs)
+
+    def matches_per_image(self) -> np.ndarray:
+        """Total matched points per image."""
+        self._test_matches()
+        return np.array(
+            [
+                np.sum([m.size for m in self.matches.data[self._images_mask(i)]])
+                for i in range(len(self.images))
+            ]
+        )
+
+    def images_per_image(self) -> np.ndarray:
+        """Number of images matched to each image."""
+        self._test_matches()
+        return np.array(
+            [
+                np.sum([m.size > 0 for m in self.matches.data[self._images_mask(i)]])
+                for i in range(len(self.images))
+            ]
+        )
+
+    def drop_images(self, imgs) -> None:
+        """Drop images and all their matches, compacting the match matrix."""
+        self._test_matches()
+        mask = self._images_mask(imgs)
+        self.matches.data[mask] = False
+        self.matches.eliminate_zeros()
+        all_idx = np.arange(len(self.images))
+        keep = np.union1d(self.matches.row, self.matches.col)
+        drop = np.setdiff1d(all_idx, keep)
+        _, new_row = np.unique(
+            np.concatenate((self.matches.row, keep)), return_inverse=True
+        )
+        self.matches.row = new_row[: -len(keep)]
+        _, new_col = np.unique(
+            np.concatenate((self.matches.col, keep)), return_inverse=True
+        )
+        self.matches.col = new_col[: -len(keep)]
+        n = len(self.images) - len(drop)
+        self.matches._shape = (n, n)
+        self.images = np.delete(self.images, drop)
+
+    def match_breaks(self, min_matches: int = 0) -> np.ndarray:
+        """Indices where the pairwise match chain is broken."""
+        self._test_matches()
+        all_starts = np.arange(len(self.images) - 1)
+        starts, counts = np.unique(self.matches.row, return_counts=True)
+        breaks = np.setdiff1d(all_starts, starts)
+        if min_matches:
+            min_matches = np.minimum(
+                min_matches, len(self.images) - np.arange(len(self.images))
+            )
+            breaks = np.sort(
+                np.concatenate((breaks, np.where(counts < min_matches)[0]))
+            )
+        return breaks
+
+
+# ---- Batch reprojection ---- #
+
+
+def project_images(
+    cam: Camera,
+    images: Iterable[Image],
+    paths: Iterable[Union[str, Path]],
+    u: np.ndarray = None,
+    v: np.ndarray = None,
+    overwrite: bool = False,
+    method: str = "linear",
+    grayscale: bool = False,
+    parallel=False,
+) -> None:
+    """Reproject an image sequence into a common ideal camera (rectified video).
+
+    The target grid is cast out once; each source image is sampled on its
+    own projection of that grid with the vectorized interpolation ops
+    (optimize.py:2776-2871).
+    """
+    paths = [str(path) for path in paths]
+    if len(paths) != len(set(paths)):
+        raise ValueError("Image output paths are not unique")
+    if u is None:
+        u = np.linspace(0.5, cam.imgsz[0] - 0.5, int(cam.imgsz[0]))
+    if v is None:
+        v = np.linspace(0.5, cam.imgsz[1] - 0.5, int(cam.imgsz[1]))
+    U, V = np.meshgrid(u, v)
+    uv = np.column_stack((U.ravel(), V.ravel()))
+    dxyz = cam.uv_to_xyz(uv)
+    parallel = helpers._parse_parallel(parallel)
+    order = {"linear": 1, "nearest": 0}[method]
+
+    def process(image: Image, path: str) -> None:
+        path = Path(path)
+        if path.exists() and not overwrite:
+            return None
+        puv = image.cam.xyz_to_uv(dxyz, directions=True)
+        finite = np.isfinite(puv).all(axis=1)
+        box_min = np.floor(np.nanmin(puv[finite], axis=0)).astype(int)
+        box_max = np.ceil(np.nanmax(puv[finite], axis=0)).astype(int)
+        box_min = np.maximum(box_min, 0)
+        box_max = np.minimum(box_max, image.cam.imgsz)
+        box = [*box_min, *box_max]
+        local = puv - box_min
+        array = image.read(box=box)
+        if array.ndim < 3:
+            array = array[:, :, None]
+        if grayscale:
+            array = array.mean(axis=2, keepdims=True)
+        H, W = array.shape[0:2]
+        rows = local[:, 1] - 0.5
+        cols = local[:, 0] - 0.5
+        oob = (
+            ~finite | (rows < -0.5) | (rows > H - 0.5) | (cols < -0.5)
+            | (cols > W - 0.5)
+        )
+        rows = np.where(oob, 0.0, rows)
+        cols = np.where(oob, 0.0, cols)
+        bands = []
+        for i in range(array.shape[2]):
+            vals = sampling_ops.sample_grid(
+                array[:, :, i].astype(float), rows, cols, order=order, xp=np
+            )
+            vals[oob] = 0
+            bands.append(vals.reshape(len(v), len(u)).astype(array.dtype))
+        projected = np.dstack(bands)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        geotiff.write(str(path), projected)
+        return None
+
+    with config.backend(np=parallel) as pool:
+        pool.map(func=process, sequence=tuple(zip(images, paths)), star=True)
+    return None

@@ -1,0 +1,581 @@
+"""Fully batched on-device particle filter: the TPU-native tracker core.
+
+The reference tracks ONE point per forked process, with a Python loop over
+time and OpenCV calls per step (``/root/reference/src/glimpse/track/
+tracker.py:225-417``; SURVEY.md sections 3.1, 7). This module is the
+TPU-first redesign: a single jitted program tracks *thousands* of points at
+once —
+
+- state is a pytree ``(particles[N,P,6], weights[N,P], templates, key)``;
+- time is a ``lax.scan`` (the PF recurrence is inherently sequential);
+- points and particles are batched array axes; the points axis shards over
+  a device :class:`~jax.sharding.Mesh` (see :mod:`glimpse_tpu.parallel`);
+- the observation kernel (project -> extract search tiles -> normalize +
+  histogram-match + median-highpass -> SSE -> cubic-spline sample) is the
+  fused batched op pipeline from :mod:`glimpse_tpu.ops`;
+- randomness is explicit PRNG-key threading;
+- the whole PF state is a checkpointable pytree (save/restore mid-sequence).
+
+Static-shape design notes (SURVEY.md section 7 "hard parts"): the reference
+computes per-step search boxes from the particle spread; under jit the
+search window is a fixed budget (``search_size``) centered on the projected
+weighted particle mean, and particles projecting outside the window incur a
+quadratic distance penalty instead of the reference's skip-with-warning.
+
+Numerical-stability improvement over the reference: log-likelihoods are
+shifted by their per-point minimum before exponentiation, so weights cannot
+collectively underflow to the 1e-300 floor.
+"""
+import dataclasses
+import functools
+from typing import Any, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..ops import imageproc, ncc, projection, resampling
+from ..ops import sampling as sampling_ops
+
+try:  # JAX is required for this module's device paths.
+    import jax
+    import jax.numpy as jnp
+except ImportError:  # pragma: no cover
+    jax = None
+    jnp = None
+
+
+# ---- Device raster (DEM) ---- #
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class DeviceRaster:
+    """A raster living in device memory: values + affine grid."""
+
+    array: Any  # (H, W)
+    x0: Any  # world x of the left outer edge
+    y0: Any  # world y of the top outer edge
+    dx: Any  # signed cell size in x
+    dy: Any  # signed cell size in y
+
+    def sample(self, xy):
+        """Bilinear sample at world points (..., 2)."""
+        cols = (xy[..., 0] - self.x0) / self.dx - 0.5
+        rows = (xy[..., 1] - self.y0) / self.dy - 0.5
+        return sampling_ops.bilinear_sample(self.array, rows, cols, xp=jnp)
+
+    def tree_flatten(self):
+        return (self.array, self.x0, self.y0, self.dx, self.dy), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @classmethod
+    def constant(cls, value: float) -> "DeviceRaster":
+        """An infinite-extent constant raster."""
+        return cls(
+            array=jnp.full((1, 1), float(value), dtype=jnp.float32),
+            x0=jnp.float32(0.0), y0=jnp.float32(0.0),
+            dx=jnp.float32(1e30), dy=jnp.float32(1e30),
+        )
+
+    @classmethod
+    def from_raster(cls, raster) -> "DeviceRaster":
+        """Upload a host :class:`glimpse_tpu.Raster`."""
+        return cls(
+            array=jnp.asarray(raster.array, dtype=jnp.float32),
+            x0=jnp.float32(raster.xlim[0]), y0=jnp.float32(raster.ylim[0]),
+            dx=jnp.float32(raster.d[0]), dy=jnp.float32(raster.d[1]),
+        )
+
+
+# ---- Motion models (batched, functional) ---- #
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class BatchMotion:
+    """Per-point motion-model parameters for N points (one model kind).
+
+    Mirrors the reference motion models (motion.py:92-522) with every
+    parameter batched on the points axis. Polar ("cylindrical") variants
+    draw (speed, angle) noise; tangent variants glue z to the DEM with a
+    slope-scaled random walk.
+    """
+
+    kind: str  # 'cartesian' | 'cylindrical' | 'tangent' | 'tangent_cylindrical'
+    xy: Any  # (N, 2) initial position means
+    xy_sigma: Any  # (N, 2)
+    v_mean: Any  # (N, 3) cartesian: vxyz; cylindrical: (vr, theta, vz)
+    v_sigma: Any  # (N, 3)
+    a_mean: Any  # (N, 3) accelerations (same convention)
+    a_sigma: Any  # (N, 3)
+    slope_sigma: Any  # (N,) tangent models' small-scale slope
+    dem: DeviceRaster
+    dem_sigma: DeviceRaster
+    use_dem_sigma: bool = True
+
+    def tree_flatten(self):
+        children = (
+            self.xy, self.xy_sigma, self.v_mean, self.v_sigma, self.a_mean,
+            self.a_sigma, self.slope_sigma, self.dem, self.dem_sigma,
+        )
+        return children, (self.kind, self.use_dem_sigma)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        kind, use_dem_sigma = aux
+        return cls(kind, *children, use_dem_sigma=use_dem_sigma)
+
+    @property
+    def n_points(self) -> int:
+        return self.xy.shape[0]
+
+    def initialize(self, key, n_particles: int):
+        """Initial particles (N, P, 6)."""
+        N, P = self.n_points, n_particles
+        k1, k2, k3 = jax.random.split(key, 3)
+        xy = self.xy[:, None, :] + self.xy_sigma[:, None, :] * jax.random.normal(
+            k1, (N, P, 2)
+        )
+        z = self.dem.sample(xy)
+        if self.use_dem_sigma:
+            z_sigma = self.dem_sigma.sample(xy)
+            z = z + z_sigma * jax.random.normal(k2, (N, P))
+        v_noise = jax.random.normal(k3, (N, P, 3))
+        v = self.v_mean[:, None, :] + self.v_sigma[:, None, :] * v_noise
+        if self.kind in ("cylindrical", "tangent_cylindrical"):
+            vx = v[..., 0] * jnp.cos(v[..., 1])
+            vy = v[..., 0] * jnp.sin(v[..., 1])
+            vz = v[..., 2] if self.kind == "cylindrical" else jnp.zeros_like(vx)
+            v = jnp.stack([vx, vy, vz], axis=-1)
+        if self.kind == "tangent":
+            v = v.at[..., 2].set(0.0)
+        return jnp.concatenate([xy, z[..., None], v], axis=-1)
+
+    def evolve(self, key, particles, dt_units):
+        """One motion step (N, P, 6) -> (N, P, 6)."""
+        k1, k2 = jax.random.split(key)
+        N, P = particles.shape[0], particles.shape[1]
+        a_noise = jax.random.normal(k1, (N, P, 3))
+        a = self.a_mean[:, None, :] + self.a_sigma[:, None, :] * a_noise
+        if self.kind in ("cylindrical", "tangent_cylindrical"):
+            vx, vy = particles[..., 3], particles[..., 4]
+            vr = jnp.sqrt(vx * vx + vy * vy)
+            vr_safe = jnp.where(vr > 0, vr, 1.0)
+            ax = a[..., 0] * (vx / vr_safe) - vy * a[..., 1]
+            ay = a[..., 0] * (vy / vr_safe) + vx * a[..., 1]
+            az = a[..., 2] if self.kind == "cylindrical" else jnp.zeros_like(ax)
+            a = jnp.stack([ax, ay, az], axis=-1)
+        tangent = self.kind in ("tangent", "tangent_cylindrical")
+        if tangent:
+            a = a.at[..., 2].set(0.0)
+        dxyz = dt_units * particles[..., 3:6] + 0.5 * a * dt_units ** 2
+        if tangent:
+            # z offsets survive resampling by reconstruction from current z.
+            z_offsets = particles[..., 2] - self.dem.sample(particles[..., 0:2])
+            step_len = jnp.sqrt(jnp.sum(dxyz[..., 0:2] ** 2, axis=-1))
+            z_offsets = z_offsets + (
+                self.slope_sigma[:, None]
+                * jax.random.normal(k2, (N, P))
+                * step_len
+            )
+            xy = particles[..., 0:2] + dxyz[..., 0:2]
+            z = self.dem.sample(xy) + z_offsets
+            v = particles[..., 3:6] + dt_units * a
+            return jnp.concatenate([xy, z[..., None], v], axis=-1)
+        pos = particles[..., 0:3] + dxyz
+        v = particles[..., 3:6] + dt_units * a
+        return jnp.concatenate([pos, v], axis=-1)
+
+    def log_likelihoods(self, particles):
+        """DEM-distance prior (N, P), or zeros when not applicable."""
+        if self.kind != "cartesian" and self.kind != "cylindrical":
+            return jnp.zeros(particles.shape[:2], dtype=particles.dtype)
+        if not self.use_dem_sigma:
+            return jnp.zeros(particles.shape[:2], dtype=particles.dtype)
+        xy = particles[..., 0:2]
+        z = self.dem.sample(xy)
+        z_sigma = self.dem_sigma.sample(xy)
+        safe = jnp.where(z_sigma > 0, z_sigma, 1.0)
+        ll = (z - particles[..., 2]) ** 2 / (2 * safe * safe)
+        return jnp.where(z_sigma > 0, ll, 0.0)
+
+
+# ---- Tracker configuration and state ---- #
+
+
+@dataclasses.dataclass(frozen=True)
+class BatchConfig:
+    """Static configuration of the batched tracker (hashable, jit-static)."""
+
+    n_particles: int = 500
+    template_size: Tuple[int, int] = (15, 15)  # (height, width)
+    search_size: Tuple[int, int] = (31, 31)  # (height, width)
+    highpass_size: Tuple[int, int] = (5, 5)
+    interpolation_order: int = 3
+    resample_method: str = "systematic"
+    dtype: Any = jnp.float32 if jnp is not None else None
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class BatchState:
+    """Checkpointable PF state: everything needed to resume mid-sequence."""
+
+    particles: Any  # (N, P, 6)
+    weights: Any  # (N, P)
+    key: Any  # PRNG key
+    templates: Any  # (O, N, th, tw) high-passed template tiles
+    template_cdf_values: Any  # (O, N, K) sorted pre-highpass values
+    template_cdf_quantiles: Any  # (O, N, K)
+    template_duv: Any  # (O, N, 2) subpixel offsets
+    step: Any  # scalar int
+
+    def tree_flatten(self):
+        return (
+            self.particles, self.weights, self.key, self.templates,
+            self.template_cdf_values, self.template_cdf_quantiles,
+            self.template_duv, self.step,
+        ), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+# ---- Observation kernel ---- #
+
+
+def _extract_tiles(image, corners, size: Tuple[int, int]):
+    """Gather (N,) fixed-size tiles from one image.
+
+    ``corners`` are integer (row, col) upper-left corners (N, 2), already
+    clamped to the image. One dynamic_slice per point, vmapped.
+    """
+
+    def one(corner):
+        return jax.lax.dynamic_slice(image, (corner[0], corner[1]), size)
+
+    return jax.vmap(one)(corners)
+
+
+def _prepare_search_tiles(tiles, cdf_values, cdf_quantiles, highpass_size):
+    """Normalize + histogram-match + median-highpass a stack of tiles (N, h, w)."""
+    N, h, w = tiles.shape
+    t = imageproc.normalize(tiles, xp=jnp, axis=(-2, -1), eps=1e-12)
+    flat = t.reshape(N, h * w)
+    own_sorted = jnp.sort(flat, axis=-1)
+    own_q = (
+        jax.vmap(lambda s, v: jnp.searchsorted(s, v, side="right"))(own_sorted, flat)
+        / (h * w)
+    )
+    matched = jax.vmap(jnp.interp)(own_q, cdf_quantiles, cdf_values)
+    t = matched.reshape(N, h, w)
+    return imageproc.highpass(t, size=highpass_size, xp=jnp)
+
+
+def _prepare_template_tiles(tiles, highpass_size):
+    """Template pipeline: normalize -> record CDF -> highpass.
+
+    Returns (highpassed tiles, cdf values, cdf quantiles).
+    """
+    N, h, w = tiles.shape
+    t = imageproc.normalize(tiles, xp=jnp, axis=(-2, -1), eps=1e-12)
+    flat = t.reshape(N, h * w)
+    values = jnp.sort(flat, axis=-1)
+    quantiles = (
+        jax.vmap(lambda s: jnp.searchsorted(s, s, side="right"))(values) / (h * w)
+    )
+    hp = imageproc.highpass(t, size=highpass_size, xp=jnp)
+    return hp, values, quantiles
+
+
+def observer_log_likelihoods(
+    image,
+    camera_vector,
+    correction,
+    sigma,
+    particles,
+    templates,
+    cdf_values,
+    cdf_quantiles,
+    template_duv,
+    weights,
+    cfg: BatchConfig,
+):
+    """Per-particle negative log likelihood from one observer's image.
+
+    The batched equivalent of tracker.py:563-625: one fused pipeline over
+    all N points. The search window is the static ``cfg.search_size`` box
+    centered on each point's weighted-mean projection; particles sampling
+    outside the SSE surface are clamped with a quadratic distance penalty.
+    """
+    N, P = particles.shape[0], particles.shape[1]
+    th, tw = cfg.template_size
+    sh, sw = cfg.search_size
+    H, W = image.shape
+    uv = projection.project(
+        camera_vector, particles[..., 0:3], correction=correction, xp=jnp
+    )  # (N, P, 2)
+    uv = jnp.nan_to_num(uv, nan=-1e6)
+    w_norm = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    uv_mean = jnp.sum(uv * w_norm[..., None], axis=1)  # (N, 2)
+    # Integer search-box corners, clamped inside the image.
+    corner_col = jnp.clip(jnp.round(uv_mean[:, 0] - sw * 0.5).astype(jnp.int32), 0, W - sw)
+    corner_row = jnp.clip(jnp.round(uv_mean[:, 1] - sh * 0.5).astype(jnp.int32), 0, H - sh)
+    corners = jnp.stack([corner_row, corner_col], axis=-1)
+    search = _extract_tiles(image, corners, (sh, sw))  # (N, sh, sw)
+    search = _prepare_search_tiles(
+        search, cdf_values, cdf_quantiles, cfg.highpass_size
+    )
+    sse = ncc.sse_map_batched(search, templates, xp=jnp)  # (N, oh, ow)
+    sse = sse * (1.0 / (th * tw))
+    oh, ow = sh - th + 1, sw - tw + 1
+    # SSE surface origin in image coordinates (cell centers at +0.5):
+    # left edge = box_left + (tw/2 - 0.5) + duv_x.
+    sse_left = corner_col.astype(cfg.dtype) + (tw * 0.5 - 0.5) + template_duv[:, 0]
+    sse_top = corner_row.astype(cfg.dtype) + (th * 0.5 - 0.5) + template_duv[:, 1]
+    cols = uv[..., 0] - sse_left[:, None] - 0.5  # (N, P) fractional indices
+    rows = uv[..., 1] - sse_top[:, None] - 0.5
+    cols_c = jnp.clip(cols, 0.0, ow - 1.0)
+    rows_c = jnp.clip(rows, 0.0, oh - 1.0)
+    oob_d2 = (cols - cols_c) ** 2 + (rows - rows_c) ** 2
+    if cfg.interpolation_order == 3:
+        coeffs = sampling_ops.bspline_prefilter_2d(sse, xp=jnp, dtype=cfg.dtype)
+        sampled = jax.vmap(
+            lambda c, r, co: sampling_ops.bspline_sample(c, r, co, xp=jnp)
+        )(coeffs, rows_c, cols_c)
+    else:
+        sampled = jax.vmap(
+            lambda s, r, co: sampling_ops.bilinear_sample(s, r, co, xp=jnp)
+        )(sse, rows_c, cols_c)
+    ll = sampled * (1.0 / (2.0 * sigma ** 2))
+    # Quadratic penalty for particles outside the search window.
+    return ll + oob_d2
+
+
+# ---- The batched tracker ---- #
+
+
+class BatchTracker:
+    """Track N points x P particles through an image sequence on device.
+
+    Arguments:
+        camera_vectors: (O, 20) camera parameter vectors (one per observer).
+        corrections: per-observer elevation correction, each None or
+            (radius, refraction).
+        sigmas: per-observer expected pixel noise (O,).
+        motion: :class:`BatchMotion` with per-point parameters.
+        config: :class:`BatchConfig` static settings.
+        mesh: optional :class:`jax.sharding.Mesh`; per-point state shards
+            over its points axis, images and cameras replicate.
+    """
+
+    def __init__(
+        self,
+        camera_vectors,
+        corrections,
+        sigmas,
+        motion: BatchMotion,
+        config: BatchConfig = None,
+        mesh=None,
+    ) -> None:
+        self.camera_vectors = jnp.asarray(camera_vectors, dtype=jnp.float32)
+        self.corrections = list(corrections)
+        self.sigmas = tuple(float(s) for s in sigmas)
+        self.motion = motion
+        self.config = config or BatchConfig()
+        self.mesh = mesh
+        self.n_observers = self.camera_vectors.shape[0]
+
+    # -- sharding helpers -- #
+
+    def _shard(self, tree, points_axis_by_path: Optional[dict] = None):
+        if self.mesh is None:
+            return tree
+        import jax
+        from ..parallel.mesh import points_sharding, replicated_sharding
+
+        # Shard any leaf whose shape starts with (N, ...) or (O, N, ...).
+        N = self.motion.n_points
+
+        def place(leaf):
+            if not hasattr(leaf, "shape") or leaf.ndim == 0:
+                return jax.device_put(leaf, replicated_sharding(self.mesh))
+            if leaf.shape[0] == N:
+                return jax.device_put(leaf, points_sharding(self.mesh, 0))
+            if (
+                leaf.ndim >= 2
+                and leaf.shape[0] == self.n_observers
+                and leaf.shape[1] == N
+            ):
+                return jax.device_put(leaf, points_sharding(self.mesh, 1))
+            return jax.device_put(leaf, replicated_sharding(self.mesh))
+
+        return jax.tree_util.tree_map(place, tree)
+
+    # -- initialization -- #
+
+    def initialize(self, key, images0) -> BatchState:
+        """Initialize particles, weights, and templates from the first frame.
+
+        ``images0``: (O, H, W) float image per observer at template time.
+        """
+        cfg = self.config
+        N = self.motion.n_points
+        th, tw = cfg.template_size
+        key, sub = jax.random.split(key)
+        particles = self.motion.initialize(sub, cfg.n_particles)
+        weights = jnp.ones((N, cfg.n_particles), dtype=cfg.dtype)
+        templates, values, quantiles, duvs = [], [], [], []
+        for o in range(self.n_observers):
+            uv = projection.project(
+                self.camera_vectors[o],
+                jnp.mean(particles[..., 0:3], axis=1),
+                correction=self.corrections[o],
+                xp=jnp,
+            )  # (N, 2)
+            H, W = images0[o].shape
+            corner_col = jnp.clip(
+                jnp.round(uv[:, 0] - tw * 0.5).astype(jnp.int32), 0, W - tw
+            )
+            corner_row = jnp.clip(
+                jnp.round(uv[:, 1] - th * 0.5).astype(jnp.int32), 0, H - th
+            )
+            corners = jnp.stack([corner_row, corner_col], axis=-1)
+            tiles = _extract_tiles(images0[o], corners, (th, tw))
+            hp, vals, quants = _prepare_template_tiles(tiles, cfg.highpass_size)
+            duv = uv - (
+                corners[:, ::-1].astype(cfg.dtype)
+                + jnp.asarray([tw * 0.5, th * 0.5], dtype=cfg.dtype)
+            )
+            templates.append(hp)
+            values.append(vals)
+            quantiles.append(quants)
+            duvs.append(duv)
+        state = BatchState(
+            particles=particles.astype(cfg.dtype),
+            weights=weights,
+            key=key,
+            templates=jnp.stack(templates),
+            template_cdf_values=jnp.stack(values),
+            template_cdf_quantiles=jnp.stack(quantiles),
+            template_duv=jnp.stack(duvs),
+            step=jnp.int32(0),
+        )
+        return self._shard(state)
+
+    # -- single step -- #
+
+    def step(self, state: BatchState, images, dt_units) -> Tuple[BatchState, dict]:
+        """One PF update: evolve -> weight by all observers -> resample.
+
+        ``images``: (O, H, W) frame per observer. ``dt_units``: scalar time
+        step in motion time units. Returns (new state, outputs dict).
+        """
+        cfg = self.config
+        key = state.key
+        key, k_evolve, k_resample = jax.random.split(key, 3)
+        particles = self.motion.evolve(k_evolve, state.particles, dt_units)
+        ll = self.motion.log_likelihoods(particles)
+        for o in range(self.n_observers):
+            ll = ll + observer_log_likelihoods(
+                images[o],
+                self.camera_vectors[o],
+                self.corrections[o],
+                self.sigmas[o],
+                particles,
+                state.templates[o],
+                state.template_cdf_values[o],
+                state.template_cdf_quantiles[o],
+                state.template_duv[o],
+                state.weights,
+                cfg,
+            )
+        # Per-point shift keeps exp() in range regardless of absolute scale.
+        ll = ll - jnp.min(ll, axis=-1, keepdims=True)
+        weights = jnp.exp(-ll) + 1e-30
+        idx = resampling.resample_jax(k_resample, weights, cfg.resample_method)
+        particles = jnp.take_along_axis(particles, idx[..., None], axis=1)
+        weights = jnp.take_along_axis(weights, idx, axis=1)
+        new_state = BatchState(
+            particles=particles,
+            weights=weights,
+            key=key,
+            templates=state.templates,
+            template_cdf_values=state.template_cdf_values,
+            template_cdf_quantiles=state.template_cdf_quantiles,
+            template_duv=state.template_duv,
+            step=state.step + 1,
+        )
+        mean, sigma = particle_moments(particles, weights)
+        return new_state, {"mean": mean, "sigma": sigma}
+
+    # -- full sequence -- #
+
+    @functools.cached_property
+    def _scan(self):
+        """Jitted scan over the time axis (compiled once per tracker)."""
+
+        def run(state: BatchState, images, dts):
+            def body(carry, xs):
+                frame, dt = xs
+                new_state, out = self.step(carry, frame, dt)
+                return new_state, out
+
+            return jax.lax.scan(body, state, (images, dts))
+
+        return jax.jit(run)
+
+    def track(self, key, images, dts) -> Tuple[BatchState, dict]:
+        """Track through a sequence held in device memory.
+
+        Arguments:
+            key: PRNG key.
+            images: (T, O, H, W) image sequence (frame 0 initializes
+                templates; frames 1..T-1 are observations).
+            dts: (T-1,) time steps in motion time units.
+
+        Returns:
+            (final state, outputs) where outputs['mean'] is (T-1, N, 6) and
+            outputs['sigma'] is (T-1, N, 6).
+        """
+        images = jnp.asarray(images, dtype=self.config.dtype)
+        if self.mesh is not None:
+            from ..parallel.mesh import replicated_sharding
+
+            images = jax.device_put(images, replicated_sharding(self.mesh))
+        state = self.initialize(key, images[0])
+        state, outputs = self._scan(
+            state, images[1:], jnp.asarray(dts, dtype=self.config.dtype)
+        )
+        return state, outputs
+
+    def track_stream(self, key, first_frame, frame_iter, dts) -> Tuple[BatchState, list]:
+        """Track a sequence streamed frame by frame from the host.
+
+        For sequences too large for device memory: ``frame_iter`` yields
+        (O, H, W) arrays; the jitted step runs per frame while the host
+        decodes the next one (double buffering via async dispatch).
+        """
+        step = jax.jit(self.step)
+        state = self.initialize(key, jnp.asarray(first_frame, self.config.dtype))
+        outputs = []
+        for frame, dt in zip(frame_iter, dts):
+            frame = jnp.asarray(frame, self.config.dtype)
+            state, out = step(state, frame, jnp.asarray(dt, self.config.dtype))
+            outputs.append(out)
+        return state, outputs
+
+
+def particle_moments(particles, weights):
+    """Weighted mean and standard deviation over the particle axis.
+
+    ``particles`` (N, P, 6), ``weights`` (N, P) -> ((N, 6), (N, 6)).
+    """
+    w = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    mean = jnp.sum(particles * w[..., None], axis=-2)
+    centered = particles - mean[..., None, :]
+    var = jnp.sum(centered * centered * w[..., None], axis=-2)
+    return mean, jnp.sqrt(var)

@@ -1,0 +1,154 @@
+"""Batched on-device tracker tests: known-velocity recovery, sharding."""
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+
+from glimpse_tpu import Camera
+from glimpse_tpu.raster import Raster
+from glimpse_tpu.track.batch import (
+    BatchConfig,
+    BatchMotion,
+    BatchTracker,
+    DeviceRaster,
+)
+
+
+def make_scene(n_frames=6, velocity=(2.0, 1.0), imgsz=256, seed=0):
+    """Render frames of a moving ground texture through a nadir camera."""
+    import scipy.ndimage
+
+    rng = np.random.default_rng(seed)
+    world = scipy.ndimage.gaussian_filter(rng.normal(size=(500, 500)), 0.8) * 100
+    texture = Raster(world, x=(0, 500), y=(500, 0))
+    cam = Camera(imgsz=imgsz, f=300, xyz=(250, 250, 300), viewdir=(0, -90, 0))
+    # Ground intersection of each pixel ray (z = 0 plane).
+    uv = cam.grid(step=1, mode="points")
+    rays = cam.uv_to_xyz(uv)
+    t = -cam.xyz[2] / rays[:, 2]
+    ground = cam.xyz + rays * t[:, None]
+    frames = []
+    for i in range(n_frames):
+        shifted = np.column_stack(
+            [ground[:, 0] - velocity[0] * i, ground[:, 1] - velocity[1] * i]
+        )
+        vals = texture.sample(shifted, bounds_error=False, fill_value=0.0)
+        frames.append(vals.reshape(imgsz, imgsz))
+    return cam, np.stack(frames), ground
+
+
+def make_motion(points_xy, v_sigma=3.0):
+    N = len(points_xy)
+    return BatchMotion(
+        kind="cartesian",
+        xy=jnp.asarray(points_xy, jnp.float32),
+        xy_sigma=jnp.full((N, 2), 1.5, jnp.float32),
+        v_mean=jnp.zeros((N, 3), jnp.float32),
+        v_sigma=jnp.full((N, 3), v_sigma, jnp.float32).at[:, 2].set(0.0),
+        a_mean=jnp.zeros((N, 3), jnp.float32),
+        a_sigma=jnp.full((N, 3), 0.2, jnp.float32).at[:, 2].set(0.0),
+        slope_sigma=jnp.zeros((N,), jnp.float32),
+        dem=DeviceRaster.constant(0.0),
+        dem_sigma=DeviceRaster.constant(0.0),
+        use_dem_sigma=False,
+    )
+
+
+def run_tracker(mesh=None, n_points=8, n_frames=6, velocity=(2.0, 1.0)):
+    cam, frames, _ = make_scene(n_frames=n_frames, velocity=velocity)
+    rng = np.random.default_rng(1)
+    points_xy = rng.uniform(180, 320, size=(n_points, 2))
+    motion = make_motion(points_xy)
+    cfg = BatchConfig(
+        n_particles=512, template_size=(15, 15), search_size=(41, 41)
+    )
+    tracker = BatchTracker(
+        camera_vectors=cam.to_array()[None],
+        corrections=[None],
+        sigmas=[0.15],
+        motion=motion,
+        config=cfg,
+        mesh=mesh,
+    )
+    images = frames[:, None]  # (T, O=1, H, W)
+    dts = np.ones(n_frames - 1)
+    state, outputs = tracker.track(jax.random.PRNGKey(0), images, dts)
+    return np.asarray(outputs["mean"]), np.asarray(outputs["sigma"]), points_xy
+
+
+def test_batch_tracker_recovers_velocity() -> None:
+    velocity = (2.0, 1.0)
+    means, sigmas, points_xy = run_tracker(velocity=velocity)
+    # Final-step velocity per point.
+    v_final = means[-1, :, 3:5]
+    err = np.abs(v_final - np.asarray(velocity))
+    assert np.median(err) < 0.5, v_final
+    # Positions advance roughly with the texture.
+    dx = means[-1, :, 0] - points_xy[:, 0]
+    assert np.median(np.abs(dx - velocity[0] * 5)) < 2.0, dx
+    # Uncertainty shrinks below the prior.
+    assert np.median(sigmas[-1, :, 0]) < 1.5
+
+
+def test_batch_tracker_multidevice_matches_single() -> None:
+    from glimpse_tpu.parallel import get_mesh
+
+    n_dev = len(jax.devices())
+    assert n_dev >= 2, "conftest should provide 8 virtual CPU devices"
+    mesh = get_mesh()
+    means_sharded, _, _ = run_tracker(mesh=mesh, n_points=8)
+    means_single, _, _ = run_tracker(mesh=None, n_points=8)
+    np.testing.assert_allclose(means_sharded, means_single, atol=1e-3)
+
+
+def test_batch_state_is_checkpointable() -> None:
+    """The PF state round-trips through flatten/unflatten (pytree contract)."""
+    cam, frames, _ = make_scene(n_frames=2)
+    motion = make_motion(np.array([[250.0, 250.0]]))
+    tracker = BatchTracker(
+        camera_vectors=cam.to_array()[None],
+        corrections=[None],
+        sigmas=[0.15],
+        motion=motion,
+        config=BatchConfig(n_particles=64),
+    )
+    state = tracker.initialize(jax.random.PRNGKey(0), jnp.asarray(frames[0])[None])
+    leaves, treedef = jax.tree_util.tree_flatten(state)
+    state2 = jax.tree_util.tree_unflatten(treedef, leaves)
+    np.testing.assert_array_equal(
+        np.asarray(state.particles), np.asarray(state2.particles)
+    )
+    # And it survives a step.
+    new_state, out = jax.jit(tracker.step)(
+        state2, jnp.asarray(frames[1])[None], jnp.float32(1.0)
+    )
+    assert np.asarray(new_state.step) == 1
+    assert np.isfinite(np.asarray(out["mean"])).all()
+
+
+def test_batch_motion_kinds_run() -> None:
+    key = jax.random.PRNGKey(0)
+    for kind in ("cartesian", "cylindrical", "tangent", "tangent_cylindrical"):
+        motion = BatchMotion(
+            kind=kind,
+            xy=jnp.zeros((4, 2)),
+            xy_sigma=jnp.ones((4, 2)),
+            v_mean=jnp.ones((4, 3)),
+            v_sigma=jnp.full((4, 3), 0.1),
+            a_mean=jnp.zeros((4, 3)),
+            a_sigma=jnp.full((4, 3), 0.01),
+            slope_sigma=jnp.full((4,), 0.1),
+            dem=DeviceRaster.constant(5.0),
+            dem_sigma=DeviceRaster.constant(0.5),
+            use_dem_sigma=True,
+        )
+        p = motion.initialize(key, 16)
+        assert p.shape == (4, 16, 6)
+        p2 = motion.evolve(key, p, jnp.float32(1.0))
+        assert np.isfinite(np.asarray(p2)).all()
+        ll = motion.log_likelihoods(p2)
+        assert ll.shape == (4, 16)
+        if kind.startswith("tangent"):
+            # z stays near the DEM surface.
+            assert np.abs(np.asarray(p2[..., 2]) - 5.0).max() < 3.0

@@ -1,0 +1,254 @@
+"""Calibration-stack tests: controls, bundle adjustment, RANSAC, stabilization."""
+import copy
+import datetime
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from glimpse_tpu import Camera, Image, optimize
+
+PATH = Path(__file__).parent / "assets" / "AK10b_20141013_020336.JPG"
+
+
+def test_points_control_contract() -> None:
+    cam = Camera(imgsz=10, f=1, xyz=(0, 0, 1), viewdir=(0, -90, 0))
+    xyz = [(-1, 0, 0), (0, 0, 0), (1, 0, 0)]
+    uv = [(3, 5), (5, 5), (7, 5)]
+    points = optimize.Points(cam=cam, uv=uv, xyz=xyz)
+    assert points.size == 3
+    np.testing.assert_allclose(
+        points.predicted() - points.observed(),
+        [[1, 0], [0, 0], [-1, 0]],
+        atol=1e-12,
+    )
+    cam.f = (2, 2)
+    np.testing.assert_allclose(points.predicted() - points.observed(), 0, atol=1e-12)
+
+
+def test_lines_control_contract() -> None:
+    cam = Camera(imgsz=10, f=1)
+    xyzs = [[(-10, 1, 0), (0, 1, 0), (10, 1, 0)]]
+    uvs = [[(2, 4), (4, 4)], [(6, 4), (8, 4)]]
+    lines = optimize.Lines(cam=cam, uvs=uvs, xyzs=xyzs, density=10)
+    assert lines.size == 4
+    np.testing.assert_allclose(
+        lines.predicted() - lines.observed(), [[0, 1]] * 4, atol=1e-9
+    )
+    cam.viewdir = (0, -45, 0)
+    np.testing.assert_allclose(
+        lines.predicted() - lines.observed(), 0, atol=1e-9
+    )
+
+
+def test_matches_control_contract() -> None:
+    cams = Camera(imgsz=10, f=1), Camera(imgsz=10, f=1)
+    uvs = [(4, 5), (5, 5), (6, 5)], [(4.1, 5), (5.1, 5), (6.1, 5)]
+    matches = optimize.Matches(cams=cams, uvs=uvs)
+    assert matches.size == 3
+    np.testing.assert_allclose(
+        matches.predicted() - matches.observed(), [[0.1, 0]] * 3, atol=1e-12
+    )
+
+
+def test_rotation_matches_equivalent_to_matches() -> None:
+    camA = Camera(imgsz=100, f=80, k=(0.05, 0, 0, 0, 0, 0))
+    camB = Camera(imgsz=100, f=80, k=(0.05, 0, 0, 0, 0, 0), viewdir=(3, -2, 1))
+    rng = np.random.default_rng(0)
+    uvA = rng.uniform(20, 80, size=(20, 2))
+    uvB = camB.xyz_to_uv(camA.uv_to_xyz(uvA), directions=True)
+    plain = optimize.Matches(cams=(camA, camB), uvs=[uvA, uvB])
+    rot = optimize.RotationMatches(cams=(camA, camB), uvs=[uvA, uvB])
+    np.testing.assert_allclose(rot.predicted(), plain.predicted(), atol=1e-8)
+    xyz = optimize.RotationMatchesXYZ(cams=(camA, camB), uvs=[uvA, uvB])
+    rays = xyz.predicted(cam=0)
+    np.testing.assert_allclose(np.linalg.norm(rays, axis=1), 1, atol=1e-12)
+    # Internals guard trips when camera internals change.
+    camB.f = (90, 90)
+    with pytest.raises(ValueError):
+        rot.predicted()
+
+
+def test_matches_filter() -> None:
+    cams = Camera(imgsz=10, f=1), Camera(imgsz=10, f=1)
+    uvs = (
+        np.array([(4.0, 5), (5, 5), (6, 5)]),
+        np.array([(4.0, 5), (5, 5), (9, 9)]),
+    )
+    matches = optimize.Matches(
+        cams=cams, uvs=list(uvs), weights=np.array([1.0, 2.0, 3.0])
+    )
+    matches.filter(max_error=1.0)
+    assert matches.size == 2
+    matches.filter(n_best=1)
+    assert matches.size == 1
+
+
+def test_polynomial_ransac() -> None:
+    xy = [(0, 0), (1.1, 1), (1.9, 2), (3.1, 3), (3.9, 4)]
+    xy += [(3, 0.1), (0.1, 3)]
+    model = optimize.Polynomial(xy, deg=1)
+    plain = model.fit()
+    assert abs(plain[0] - 1) > 0.01  # outliers corrupt the plain fit
+    params, inliers = optimize.ransac(
+        model, n=2, max_error=0.2, min_inliers=2, iterations=100,
+        rng=np.random.default_rng(0),
+    )
+    assert set(inliers) == {0, 1, 2, 3, 4}
+    np.testing.assert_allclose(params, [1.0, 0.0], atol=0.1)
+
+
+def test_cameras_fit_recovers_viewdir_from_points() -> None:
+    true = Camera(imgsz=(200, 150), f=(180, 180), viewdir=(5, -3, 1))
+    rng = np.random.default_rng(1)
+    xyz = np.column_stack(
+        [rng.uniform(-50, 50, 40), rng.uniform(80, 120, 40), rng.uniform(-30, 30, 40)]
+    )
+    uv = true.xyz_to_uv(xyz)
+    keep = np.isfinite(uv).all(axis=1) & true.inframe(uv)
+    cam = Camera(imgsz=(200, 150), f=(180, 180))  # unknown viewdir
+    points = optimize.Points(cam=cam, uv=uv[keep], xyz=xyz[keep])
+    model = optimize.Cameras(
+        cams=[cam], controls=[points], cam_params=[{"viewdir": True}]
+    )
+    values = model.fit()
+    np.testing.assert_allclose(values, (5, -3, 1), atol=1e-6)
+    # Applying the fit zeroes the reprojection errors.
+    model.set_cameras(values)
+    assert model.errors().max() < 1e-6
+
+
+def test_cameras_fit_group_params() -> None:
+    """Two cameras share focal length through a group parameter."""
+    rng = np.random.default_rng(2)
+    xyz = np.column_stack(
+        [rng.uniform(-50, 50, 30), rng.uniform(80, 120, 30), rng.uniform(-30, 30, 30)]
+    )
+    true_f = 190.0
+    cams_true = [
+        Camera(imgsz=(200, 150), f=true_f, viewdir=(0, 0, 0)),
+        Camera(imgsz=(200, 150), f=true_f, viewdir=(8, 0, 0)),
+    ]
+    uvs = [c.xyz_to_uv(xyz) for c in cams_true]
+    cams = [
+        Camera(imgsz=(200, 150), f=170.0, viewdir=(0, 0, 0)),
+        Camera(imgsz=(200, 150), f=170.0, viewdir=(8, 0, 0)),
+    ]
+    controls = [
+        optimize.Points(cam=cams[i], uv=uvs[i], xyz=xyz) for i in range(2)
+    ]
+    model = optimize.Cameras(
+        cams=cams,
+        controls=controls,
+        group_indices=[[0, 1]],
+        group_params=[{"f": True}],
+    )
+    values = model.fit()
+    np.testing.assert_allclose(values, [true_f, true_f], rtol=1e-6)
+
+
+def test_observer_cameras_stabilization() -> None:
+    """Recover a known rotation between sequence images from synthetic matches."""
+    import scipy.sparse
+
+    camA = Camera(imgsz=(200, 150), f=(180, 180))
+    true_viewdir = (1.5, -1.0, 0.5)
+    camB = Camera(imgsz=(200, 150), f=(180, 180), viewdir=true_viewdir)
+    rng = np.random.default_rng(3)
+    uvA = rng.uniform(20, 130, size=(50, 2))
+    uvB = camB.xyz_to_uv(camA.uv_to_xyz(uvA), directions=True)
+    keep = np.isfinite(uvB).all(axis=1)
+    match = optimize.RotationMatchesXYZ(cams=(camA, camB), uvs=[uvA[keep], uvB[keep]])
+    matches = scipy.sparse.coo_matrix((np.ones(1), ([0], [1])))
+    matches.data = np.array([match], dtype=object)
+
+    class FakeImage:
+        def __init__(self, cam):
+            self.cam = cam
+
+    class FakeObserver:
+        images = [FakeImage(camA), FakeImage(camB)]
+
+    # Start camB from a wrong guess.
+    camB.viewdir = (0, 0, 0)
+    model = optimize.ObserverCameras(FakeObserver(), matches=matches, anchors=[0])
+    result = model.fit(tol=1e-12)
+    fitted = result.x.reshape(-1, 3)
+    np.testing.assert_allclose(fitted[0], (0, 0, 0), atol=1e-3)
+    np.testing.assert_allclose(fitted[1], true_viewdir, atol=1e-2)
+
+
+@pytest.mark.slow
+def test_optimizes_camera_viewdir_with_ransac() -> None:
+    """Reference integration contract (test_optimize.py:8-38): synthesize a
+    rotated view, SIFT-match, show the plain fit fails and RANSAC recovers
+    the rotation to < 0.1 degrees."""
+    cv2 = pytest.importorskip("cv2")
+    imgA = Image(PATH)
+    imgA.cam.resize(0.5)
+    imgB = copy.deepcopy(imgA)
+    viewdir = (2, 2, 2)
+    imgB.cam.viewdir = viewdir
+    synthetic = np.nan_to_num(imgA.project(imgB.cam)).astype(np.uint8)
+    keypoints = [
+        optimize.detect_keypoints(np.asarray(a, dtype=float).mean(axis=2))
+        for a in (imgA.read(), synthetic)
+    ]
+    uvs = optimize.match_keypoints(*keypoints, max_ratio=0.8)
+    matches = optimize.Matches(cams=(imgA.cam, imgB.cam), uvs=list(uvs))
+    model = optimize.Cameras(
+        cams=[imgB.cam], controls=[matches], cam_params=[{"viewdir": True}]
+    )
+    rvalues, rindex = optimize.ransac(
+        model, n=12, max_error=5, min_inliers=10, iterations=10,
+        rng=np.random.default_rng(0),
+    )
+    assert all(abs(rvalues - np.asarray(viewdir)) < 0.1)
+
+
+def test_keypoint_matcher_with_caches(tmp_path) -> None:
+    cv2 = pytest.importorskip("cv2")
+    t0 = datetime.datetime(2020, 1, 1)
+    images = [
+        Image(PATH, cam={"imgsz": (200, 134), "fmm": 20, "sensorsz": (23.6, 15.8)},
+              datetime=t0 + datetime.timedelta(days=i))
+        for i in range(3)
+    ]
+    # Unique basenames are required: use symlinked copies.
+    import shutil
+
+    paths = []
+    for i, img in enumerate(images):
+        p = tmp_path / f"img_{i}.jpg"
+        shutil.copy(PATH, p)
+        paths.append(p)
+    images = [
+        Image(p, cam={"imgsz": (200, 134), "fmm": 20, "sensorsz": (23.6, 15.8)},
+              datetime=t0 + datetime.timedelta(days=i))
+        for i, p in enumerate(paths)
+    ]
+    matcher = optimize.KeypointMatcher(images)
+    kp_dir = tmp_path / "keypoints"
+    matcher.build_keypoints(path=kp_dir, contrastThreshold=0.02)
+    assert len(list(kp_dir.glob("*.pkl"))) == 3
+    matcher.build_matches(maxdt=datetime.timedelta(days=1), path=tmp_path / "matches")
+    assert matcher.matches is not None
+    assert matcher.matches.data.size == 2  # (0,1), (1,2): maxdt window
+    counts = matcher.matches_per_image()
+    assert counts.shape == (3,)
+    assert (counts > 0).all()
+    breaks = matcher.match_breaks()
+    assert len(breaks) == 0
+
+
+def test_project_images(tmp_path) -> None:
+    img = Image(PATH, cam={"imgsz": (100, 67), "fmm": 20, "sensorsz": (23.6, 15.8)})
+    cam = img.cam.copy()
+    cam.viewdir = (1, 0, 0)
+    out = tmp_path / "projected.tif"
+    optimize.project_images(cam=cam, images=[img], paths=[out])
+    assert out.exists()
+    from glimpse_tpu.io import geotiff
+
+    a = geotiff.read(out)
+    assert a.shape[0:2] == (67, 100)
