@@ -806,3 +806,57 @@ def _parse_parallel(parallel: Union[int, bool]) -> int:
     else:
         n = int(parallel)
     return n
+
+
+# ---- GIS (GDAL-free) ---- #
+
+
+def crs_to_wkt(crs: Union[int, str]) -> str:
+    """Normalize a CRS designation to a string.
+
+    GDAL-free: integer EPSG codes become "EPSG:<code>"; WKT and Proj4
+    strings pass through unchanged (the raster codec stores CRS strings
+    opaquely rather than reprojecting).
+    """
+    if isinstance(crs, int):
+        return f"EPSG:{crs}"
+    if isinstance(crs, str):
+        if "[" in crs or "+" in crs or crs.upper().startswith("EPSG"):
+            return crs
+        raise ValueError(f"String CRS format not Proj4, WKT, or EPSG: {crs}")
+    raise ValueError(f"Unsupported CRS format: {crs}")
+
+
+def write_raster(
+    a: np.ndarray,
+    path: Union[str, Path],
+    nan: Union[float, int] = None,
+    crs: Union[int, str] = None,
+    transform: Iterable[Union[int, float]] = None,
+    **kwargs: Any,
+) -> None:
+    """Write an array to a GeoTIFF (see glimpse_tpu.io.geotiff.write)."""
+    from .io import geotiff
+
+    geotiff.write(
+        path, a, transform=transform,
+        crs=crs_to_wkt(crs) if crs is not None else None, nodata=nan,
+    )
+
+
+def average_rasters(paths: Iterable[Union[str, Path]]) -> np.ndarray:
+    """Return the mean of several same-shaped rasters (streamed)."""
+    from .io import geotiff
+
+    paths = [str(path) for path in paths]
+    base = np.atleast_3d(geotiff.read(paths[0])).astype(float)
+    n = len(paths)
+    total = base / n
+    for path in paths[1:]:
+        a = np.atleast_3d(geotiff.read(path)).astype(float)
+        if a.shape != base.shape:
+            raise ValueError(
+                f"Inconsistent shape at {path}: {a.shape} (expected {base.shape})"
+            )
+        total += a / n
+    return total

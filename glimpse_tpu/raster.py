@@ -638,6 +638,19 @@ class Raster(Grid):
             datetime=copy_module.copy(self.datetime),
         )
 
+    @property
+    def Zf(self):
+        """Cached scipy RegularGridInterpolator over (x, y) (API parity)."""
+        if getattr(self, "_Zf", None) is None:
+            import scipy.interpolate
+
+            sign = np.sign(self.d).astype(int)
+            self._Zf = scipy.interpolate.RegularGridInterpolator(
+                (self.x[:: sign[0]], self.y[:: sign[1]]),
+                self.array.T[:: sign[0], :: sign[1]],
+            )
+        return self._Zf
+
     # ---- Sampling ---- #
 
     def _xy_to_fractional_rowcol(self, xy) -> Tuple[np.ndarray, np.ndarray]:

@@ -152,3 +152,59 @@ def test_batch_motion_kinds_run() -> None:
         if kind.startswith("tangent"):
             # z stays near the DEM surface.
             assert np.abs(np.asarray(p2[..., 2]) - 5.0).max() < 3.0
+
+
+def test_batch_tracker_cross_validates_host_tracker() -> None:
+    """Both trackers see identical frames; world trajectories must agree.
+
+    A nadir camera at height h with f = h images the z=0 plane 1:1, so the
+    rendered frames double as world-grid rasters for the host tracker.
+    """
+    import datetime
+
+    from glimpse_tpu.raster import Raster
+    from glimpse_tpu.track import CartesianMotion, Observer, Tracker
+
+    n_frames = 6
+    velocity = (2.0, 1.0)
+    imgsz = 256
+    cam, frames, _ = make_scene(n_frames=n_frames, velocity=velocity, imgsz=imgsz)
+    cx, cy = cam.xyz[0], cam.xyz[1]
+    # Image frame <-> world: col = x - (cx - S/2), row = (cy + S/2) - y.
+    t0 = datetime.datetime(2020, 1, 1)
+    day = datetime.timedelta(days=1)
+    rasters = [
+        Raster(
+            f,
+            x=(cx - imgsz / 2, cx + imgsz / 2),
+            y=(cy + imgsz / 2, cy - imgsz / 2),
+            datetime=t0 + i * day,
+        )
+        for i, f in enumerate(frames)
+    ]
+    start = (float(cx), float(cy))
+    # Host tracker.
+    host_motion = CartesianMotion(
+        xy=start, time_unit=day, dem=0.0, dem_sigma=None, n=1000,
+        xy_sigma=(1.5, 1.5), vxyz_sigma=(3, 3, 0), axyz_sigma=(0.2, 0.2, 0),
+        seed=7,
+    )
+    host = Tracker([Observer(rasters, sigma=0.15)], seed=7)
+    host_tracks = host.track([host_motion], tile_size=(15, 15))
+    # Batch tracker on the same frames through the camera.
+    motion = make_motion(np.array([start]), v_sigma=3.0)
+    cfg = BatchConfig(n_particles=1000, template_size=(15, 15), search_size=(41, 41))
+    batch = BatchTracker(
+        camera_vectors=cam.to_array()[None], corrections=[None], sigmas=[0.15],
+        motion=motion, config=cfg,
+    )
+    _, outputs = batch.track(
+        jax.random.PRNGKey(7), frames[:, None], np.ones(n_frames - 1)
+    )
+    batch_xy = np.asarray(outputs["mean"])[-1, 0, 0:2]
+    host_xy = host_tracks.xyz[0, -1, 0:2]
+    truth = np.array(start) + np.array(velocity) * (n_frames - 1)
+    # Both implementations near the truth and near each other.
+    np.testing.assert_allclose(host_xy, truth, atol=1.0)
+    np.testing.assert_allclose(batch_xy, truth, atol=1.0)
+    np.testing.assert_allclose(batch_xy, host_xy, atol=1.0)

@@ -326,3 +326,18 @@ def test_data_extent_and_crop_to_data() -> None:
     dem.crop_to_data()
     assert dem.array.shape == (3, 3)
     np.testing.assert_allclose(dem.xlim, (2, 5))
+
+
+def test_project_dem_nadir_identity() -> None:
+    """Reference doctest contract (camera.py:1016-1031): a nadir camera over
+    a matched 3x3 grid reproduces values and depth exactly."""
+    from glimpse_tpu import Camera
+
+    rng = np.random.default_rng(0)
+    cam = Camera(imgsz=3, f=3, xyz=(0, 0, 3), viewdir=(0, -90, 0))
+    Z = np.array([(0.1, 0.2, 0.3), (0.4, 0.5, 0.6), (0.7, 0.8, 0.9)])
+    values = rng.normal(size=(3, 3))
+    dem = Raster(Z, x=(-1.5, 1.5), y=(1.5, -1.5))
+    img = cam.project_dem(dem, values=values, return_depth=True)
+    np.testing.assert_allclose(img[:, :, 0], values)
+    np.testing.assert_allclose(img[:, :, 1], cam.xyz[2] - Z)
