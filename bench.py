@@ -79,14 +79,18 @@ def main() -> None:
     images = jnp.asarray(frames[:, None])
     dts = jnp.ones(N_STEPS, jnp.float32)
 
-    # Compile + warm up.
+    # Compile + warm up. NOTE: on the tunneled TPU backend
+    # block_until_ready does not synchronize, so completion is forced by
+    # fetching the outputs.
     state, outputs = tracker.track(jax.random.PRNGKey(0), images, dts)
-    jax.block_until_ready(outputs["mean"])
-    # Timed run.
-    start = time.perf_counter()
-    state, outputs = tracker.track(jax.random.PRNGKey(1), images, dts)
-    jax.block_until_ready(outputs["mean"])
-    elapsed = time.perf_counter() - start
+    _ = np.asarray(outputs["mean"][-1])
+    # Timed runs (best of 2).
+    elapsed = float("inf")
+    for rep in range(2):
+        start = time.perf_counter()
+        state, outputs = tracker.track(jax.random.PRNGKey(1 + rep), images, dts)
+        _ = np.asarray(outputs["mean"][-1])
+        elapsed = min(elapsed, time.perf_counter() - start)
     throughput = N_POINTS * N_STEPS / elapsed
 
     # Baseline: reference-style per-point CPU loop at the same particle count.

@@ -184,6 +184,96 @@ def bspline_sample(coeffs, rows, cols, xp=np):
     return out
 
 
+def bspline_pad_coeffs(coeffs, xp=np):
+    """Fold the natural-BC ghost coefficients into a 1-cell border.
+
+    Padding with c[-1] = 2 c[0] - c[1] (and symmetrically at the far edge)
+    lets :func:`bspline_sample_padded` use ONE gather per tap instead of the
+    four-way ghost logic in :func:`bspline_sample` — the difference between
+    16 and 64 gathers per evaluation, which dominates TPU sampling cost.
+    """
+    top = 2 * coeffs[..., 0:1, :] - coeffs[..., 1:2, :]
+    bottom = 2 * coeffs[..., -1:, :] - coeffs[..., -2:-1, :]
+    c = xp.concatenate([top, coeffs, bottom], axis=-2)
+    left = 2 * c[..., :, 0:1] - c[..., :, 1:2]
+    right = 2 * c[..., :, -1:] - c[..., :, -2:-1]
+    return xp.concatenate([left, c, right], axis=-1)
+
+
+def bspline_sample_padded(padded, rows, cols, xp=np):
+    """Evaluate a cubic B-spline from ghost-padded coefficients.
+
+    ``padded`` is :func:`bspline_pad_coeffs` output, (H+2, W+2); ``rows``/
+    ``cols`` index the ORIGINAL (unpadded) grid. Exactly equals
+    :func:`bspline_sample` for in-bounds coordinates within one cell of the
+    border (the reach of cubic taps), i.e. all clamped samples.
+    """
+    H2, W2 = padded.shape[-2], padded.shape[-1]
+    rb = xp.floor(rows)
+    cb = xp.floor(cols)
+    tr = rows - rb
+    tc = cols - cb
+    rb = rb.astype(int) + 1  # shift into padded frame
+    cb = cb.astype(int) + 1
+    wr = _cubic_bspline_weights(tr, xp)
+    wc = _cubic_bspline_weights(tc, xp)
+    out = xp.zeros_like(rows)
+    for dr in range(4):
+        ri = xp.clip(rb + (dr - 1), 0, H2 - 1)
+        for dc in range(4):
+            ci = xp.clip(cb + (dc - 1), 0, W2 - 1)
+            out = out + wr[dr] * wc[dc] * padded[..., ri, ci]
+    return out
+
+
+@functools.lru_cache(maxsize=64)
+def bspline_eval_matrix(n: int, factor: int) -> np.ndarray:
+    """Dense matrix evaluating a 1-D cubic B-spline on a regular fine grid.
+
+    Returns E (n*factor, n) such that ``E @ coeffs`` gives the exact spline
+    values at fine-grid positions (j + 0.5)/factor - 0.5 for j in
+    [0, n*factor) — i.e. fine cells centered over the coarse grid. Evaluating
+    a 2-D spline on the fine grid is then two MXU matmuls instead of
+    per-sample gathers.
+    """
+    m = n * factor
+    positions = (np.arange(m) + 0.5) / factor - 0.5
+    E = np.zeros((m, n))
+    base = np.floor(positions).astype(int)
+    t = positions - base
+    w = _cubic_bspline_weights(t, np)
+    for tap in range(4):
+        idx = base + (tap - 1)
+        # Natural-BC ghost: c[-1] = 2c[0] - c[1]; c[n] = 2c[n-1] - c[n-2].
+        for j in range(m):
+            i = idx[j]
+            wt = w[tap][j]
+            if i < 0:
+                E[j, 0] += 2 * wt
+                E[j, min(1, n - 1)] -= wt
+            elif i > n - 1:
+                E[j, n - 1] += 2 * wt
+                E[j, max(n - 2, 0)] -= wt
+            else:
+                E[j, i] += wt
+    return E
+
+
+def bspline_upsample(coeffs, factor: int, xp=np, dtype=None):
+    """Evaluate a 2-D cubic B-spline on a regular `factor`-x fine grid.
+
+    ``coeffs`` (..., H, W) -> (..., H*factor, W*factor) exact spline values,
+    via two dense matmuls (MXU work; no gathers). Fine cell (i, j) is
+    centered at coarse coordinate ((i + 0.5)/factor - 0.5, ...).
+    """
+    H, W = coeffs.shape[-2], coeffs.shape[-1]
+    if dtype is None:
+        dtype = coeffs.dtype
+    Er = xp.asarray(bspline_eval_matrix(H, factor), dtype=dtype)
+    Ec = xp.asarray(bspline_eval_matrix(W, factor), dtype=dtype)
+    return xp.matmul(xp.matmul(Er, coeffs), xp.swapaxes(Ec, -1, -2))
+
+
 def sample_grid(values, rows, cols, order: int = 1, xp=np, prefiltered: bool = False):
     """Sample a 2-D grid at fractional indices with the given order.
 

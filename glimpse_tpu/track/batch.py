@@ -214,6 +214,15 @@ class BatchConfig:
     search_size: Tuple[int, int] = (31, 31)  # (height, width)
     highpass_size: Tuple[int, int] = (5, 5)
     interpolation_order: int = 3
+    # Histogram matching runs against a fixed-size quantile table (lossless
+    # when >= template pixel count; SURVEY.md hard-part 3).
+    n_quantiles: int = 256
+    # SSE likelihood sampling: 0 evaluates the cubic spline exactly at each
+    # particle (16 gathers); factor f >= 2 evaluates the spline on an f-x
+    # regular fine grid with MXU matmuls and samples it bilinearly (4
+    # gathers) - much faster on TPU, sub-0.01 px difference for smooth SSE
+    # surfaces.
+    sse_upsample: int = 4
     resample_method: str = "systematic"
     dtype: Any = jnp.float32 if jnp is not None else None
 
@@ -227,16 +236,14 @@ class BatchState:
     weights: Any  # (N, P)
     key: Any  # PRNG key
     templates: Any  # (O, N, th, tw) high-passed template tiles
-    template_cdf_values: Any  # (O, N, K) sorted pre-highpass values
-    template_cdf_quantiles: Any  # (O, N, K)
+    template_table: Any  # (O, N, K) quantile table of pre-highpass values
     template_duv: Any  # (O, N, 2) subpixel offsets
     step: Any  # scalar int
 
     def tree_flatten(self):
         return (
             self.particles, self.weights, self.key, self.templates,
-            self.template_cdf_values, self.template_cdf_quantiles,
-            self.template_duv, self.step,
+            self.template_table, self.template_duv, self.step,
         ), None
 
     @classmethod
@@ -260,35 +267,52 @@ def _extract_tiles(image, corners, size: Tuple[int, int]):
     return jax.vmap(one)(corners)
 
 
-def _prepare_search_tiles(tiles, cdf_values, cdf_quantiles, highpass_size):
-    """Normalize + histogram-match + median-highpass a stack of tiles (N, h, w)."""
+def _prepare_search_tiles(tiles, table, highpass_size):
+    """Normalize + histogram-match + median-highpass a stack of tiles (N, h, w).
+
+    Histogram matching via rank statistics: each pixel's quantile comes from
+    a double argsort (two sorts — no per-element binary search), then maps
+    through the template's uniform quantile ``table`` with arithmetic
+    indexing (two gathers). Equivalent to empirical CDF matching up to ties
+    (measure-zero on continuous image data).
+    """
     N, h, w = tiles.shape
+    n = h * w
+    K = table.shape[-1]
     t = imageproc.normalize(tiles, xp=jnp, axis=(-2, -1), eps=1e-12)
-    flat = t.reshape(N, h * w)
-    own_sorted = jnp.sort(flat, axis=-1)
-    own_q = (
-        jax.vmap(lambda s, v: jnp.searchsorted(s, v, side="right"))(own_sorted, flat)
-        / (h * w)
-    )
-    matched = jax.vmap(jnp.interp)(own_q, cdf_quantiles, cdf_values)
+    flat = t.reshape(N, n)
+    order = jnp.argsort(flat, axis=-1, stable=True)
+    ranks = jnp.argsort(order, axis=-1, stable=True)
+    q = (ranks.astype(t.dtype) + 1.0) / n  # P(x <= v), searchsorted-right
+    # Linear interpolation into the uniform quantile table.
+    pos = q * K - 0.5
+    i0 = jnp.clip(jnp.floor(pos), 0, K - 2).astype(jnp.int32)
+    frac = jnp.clip(pos - i0, 0.0, 1.0)
+    lo = jnp.take_along_axis(table, i0, axis=-1)
+    hi = jnp.take_along_axis(table, i0 + 1, axis=-1)
+    matched = lo * (1 - frac) + hi * frac
     t = matched.reshape(N, h, w)
     return imageproc.highpass(t, size=highpass_size, xp=jnp)
 
 
-def _prepare_template_tiles(tiles, highpass_size):
-    """Template pipeline: normalize -> record CDF -> highpass.
+def _prepare_template_tiles(tiles, highpass_size, n_quantiles: int):
+    """Template pipeline: normalize -> record quantile table -> highpass.
 
-    Returns (highpassed tiles, cdf values, cdf quantiles).
+    Returns (highpassed tiles, quantile table (N, K)) where table[k] is the
+    normalized template value at quantile (k + 0.5)/K (lossless relative to
+    the empirical CDF once K >= template pixel count).
     """
     N, h, w = tiles.shape
+    n = h * w
+    K = n_quantiles
     t = imageproc.normalize(tiles, xp=jnp, axis=(-2, -1), eps=1e-12)
-    flat = t.reshape(N, h * w)
-    values = jnp.sort(flat, axis=-1)
-    quantiles = (
-        jax.vmap(lambda s: jnp.searchsorted(s, s, side="right"))(values) / (h * w)
+    values = jnp.sort(t.reshape(N, n), axis=-1)
+    idx = jnp.clip(
+        jnp.floor((jnp.arange(K) + 0.5) * n / K).astype(jnp.int32), 0, n - 1
     )
+    table = values[:, idx]
     hp = imageproc.highpass(t, size=highpass_size, xp=jnp)
-    return hp, values, quantiles
+    return hp, table
 
 
 def observer_log_likelihoods(
@@ -298,8 +322,7 @@ def observer_log_likelihoods(
     sigma,
     particles,
     templates,
-    cdf_values,
-    cdf_quantiles,
+    template_table,
     template_duv,
     weights,
     cfg: BatchConfig,
@@ -326,9 +349,7 @@ def observer_log_likelihoods(
     corner_row = jnp.clip(jnp.round(uv_mean[:, 1] - sh * 0.5).astype(jnp.int32), 0, H - sh)
     corners = jnp.stack([corner_row, corner_col], axis=-1)
     search = _extract_tiles(image, corners, (sh, sw))  # (N, sh, sw)
-    search = _prepare_search_tiles(
-        search, cdf_values, cdf_quantiles, cfg.highpass_size
-    )
+    search = _prepare_search_tiles(search, template_table, cfg.highpass_size)
     sse = ncc.sse_map_batched(search, templates, xp=jnp)  # (N, oh, ow)
     sse = sse * (1.0 / (th * tw))
     oh, ow = sh - th + 1, sw - tw + 1
@@ -343,9 +364,23 @@ def observer_log_likelihoods(
     oob_d2 = (cols - cols_c) ** 2 + (rows - rows_c) ** 2
     if cfg.interpolation_order == 3:
         coeffs = sampling_ops.bspline_prefilter_2d(sse, xp=jnp, dtype=cfg.dtype)
-        sampled = jax.vmap(
-            lambda c, r, co: sampling_ops.bspline_sample(c, r, co, xp=jnp)
-        )(coeffs, rows_c, cols_c)
+        if cfg.sse_upsample and cfg.sse_upsample > 1:
+            # Exact spline values on a fine regular grid (two MXU matmuls),
+            # then bilinear at the particles (4 gathers instead of 16).
+            factor = cfg.sse_upsample
+            fine = sampling_ops.bspline_upsample(
+                coeffs, factor, xp=jnp, dtype=cfg.dtype
+            )
+            fr = (rows_c + 0.5) * factor - 0.5
+            fc = (cols_c + 0.5) * factor - 0.5
+            sampled = jax.vmap(
+                lambda s, r, co: sampling_ops.bilinear_sample(s, r, co, xp=jnp)
+            )(fine, fr, fc)
+        else:
+            padded = sampling_ops.bspline_pad_coeffs(coeffs, xp=jnp)
+            sampled = jax.vmap(
+                lambda c, r, co: sampling_ops.bspline_sample_padded(c, r, co, xp=jnp)
+            )(padded, rows_c, cols_c)
     else:
         sampled = jax.vmap(
             lambda s, r, co: sampling_ops.bilinear_sample(s, r, co, xp=jnp)
@@ -428,7 +463,7 @@ class BatchTracker:
         key, sub = jax.random.split(key)
         particles = self.motion.initialize(sub, cfg.n_particles)
         weights = jnp.ones((N, cfg.n_particles), dtype=cfg.dtype)
-        templates, values, quantiles, duvs = [], [], [], []
+        templates, tables, duvs = [], [], []
         for o in range(self.n_observers):
             uv = projection.project(
                 self.camera_vectors[o],
@@ -445,22 +480,22 @@ class BatchTracker:
             )
             corners = jnp.stack([corner_row, corner_col], axis=-1)
             tiles = _extract_tiles(images0[o], corners, (th, tw))
-            hp, vals, quants = _prepare_template_tiles(tiles, cfg.highpass_size)
+            hp, table = _prepare_template_tiles(
+                tiles, cfg.highpass_size, cfg.n_quantiles
+            )
             duv = uv - (
                 corners[:, ::-1].astype(cfg.dtype)
                 + jnp.asarray([tw * 0.5, th * 0.5], dtype=cfg.dtype)
             )
             templates.append(hp)
-            values.append(vals)
-            quantiles.append(quants)
+            tables.append(table)
             duvs.append(duv)
         state = BatchState(
             particles=particles.astype(cfg.dtype),
             weights=weights,
             key=key,
             templates=jnp.stack(templates),
-            template_cdf_values=jnp.stack(values),
-            template_cdf_quantiles=jnp.stack(quantiles),
+            template_table=jnp.stack(tables),
             template_duv=jnp.stack(duvs),
             step=jnp.int32(0),
         )
@@ -487,8 +522,7 @@ class BatchTracker:
                 self.sigmas[o],
                 particles,
                 state.templates[o],
-                state.template_cdf_values[o],
-                state.template_cdf_quantiles[o],
+                state.template_table[o],
                 state.template_duv[o],
                 state.weights,
                 cfg,
@@ -504,8 +538,7 @@ class BatchTracker:
             weights=weights,
             key=key,
             templates=state.templates,
-            template_cdf_values=state.template_cdf_values,
-            template_cdf_quantiles=state.template_cdf_quantiles,
+            template_table=state.template_table,
             template_duv=state.template_duv,
             step=state.step + 1,
         )
@@ -528,6 +561,22 @@ class BatchTracker:
 
         return jax.jit(run)
 
+    @functools.cached_property
+    def _track_jit(self):
+        """Jitted init + scan: one device dispatch for a whole sequence."""
+
+        def run(key, images, dts):
+            state = self.initialize(key, images[0])
+
+            def body(carry, xs):
+                frame, dt = xs
+                new_state, out = self.step(carry, frame, dt)
+                return new_state, out
+
+            return jax.lax.scan(body, state, (images[1:], dts))
+
+        return jax.jit(run)
+
     def track(self, key, images, dts) -> Tuple[BatchState, dict]:
         """Track through a sequence held in device memory.
 
@@ -546,9 +595,8 @@ class BatchTracker:
             from ..parallel.mesh import replicated_sharding
 
             images = jax.device_put(images, replicated_sharding(self.mesh))
-        state = self.initialize(key, images[0])
-        state, outputs = self._scan(
-            state, images[1:], jnp.asarray(dts, dtype=self.config.dtype)
+        state, outputs = self._track_jit(
+            key, images, jnp.asarray(dts, dtype=self.config.dtype)
         )
         return state, outputs
 

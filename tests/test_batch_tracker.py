@@ -208,3 +208,32 @@ def test_batch_tracker_cross_validates_host_tracker() -> None:
     np.testing.assert_allclose(host_xy, truth, atol=1.0)
     np.testing.assert_allclose(batch_xy, truth, atol=1.0)
     np.testing.assert_allclose(batch_xy, host_xy, atol=1.0)
+
+
+def test_checkpoint_roundtrip(tmp_path) -> None:
+    from glimpse_tpu.track import checkpoint
+
+    cam, frames, _ = make_scene(n_frames=3)
+    motion = make_motion(np.array([[250.0, 250.0], [240.0, 260.0]]))
+    tracker = BatchTracker(
+        camera_vectors=cam.to_array()[None], corrections=[None], sigmas=[0.15],
+        motion=motion, config=BatchConfig(n_particles=64),
+    )
+    state = tracker.initialize(jax.random.PRNGKey(3), jnp.asarray(frames[0])[None])
+    state, _ = jax.jit(tracker.step)(
+        state, jnp.asarray(frames[1])[None], jnp.float32(1.0)
+    )
+    path = tmp_path / "pf_state.npz"
+    checkpoint.save_state(state, path)
+    restored = checkpoint.load_state(path)
+    # Resuming from the snapshot continues bit-exactly.
+    next_a, out_a = jax.jit(tracker.step)(
+        state, jnp.asarray(frames[2])[None], jnp.float32(1.0)
+    )
+    next_b, out_b = jax.jit(tracker.step)(
+        restored, jnp.asarray(frames[2])[None], jnp.float32(1.0)
+    )
+    np.testing.assert_array_equal(np.asarray(out_a["mean"]), np.asarray(out_b["mean"]))
+    np.testing.assert_array_equal(
+        np.asarray(next_a.particles), np.asarray(next_b.particles)
+    )

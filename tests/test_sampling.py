@@ -62,3 +62,46 @@ def test_bspline_jax_matches_numpy() -> None:
     )
     got_jax = np.asarray(fn(jnp.asarray(Z), jnp.asarray(pts[:, 0]), jnp.asarray(pts[:, 1])))
     np.testing.assert_allclose(got_jax, got_np, atol=1e-5)
+
+
+def test_bspline_padded_matches_exact() -> None:
+    rng = np.random.default_rng(5)
+    Z = rng.normal(size=(27, 27))
+    coeffs = sampling.bspline_prefilter_2d(Z, xp=np)
+    pts = rng.uniform([0, 0], [26, 26], size=(500, 2))
+    exact = sampling.bspline_sample(coeffs, pts[:, 0], pts[:, 1], xp=np)
+    padded = sampling.bspline_pad_coeffs(coeffs, xp=np)
+    fast = sampling.bspline_sample_padded(padded, pts[:, 0], pts[:, 1], xp=np)
+    np.testing.assert_allclose(fast, exact, atol=1e-12)
+
+
+def test_bspline_upsample_matches_exact_on_fine_grid() -> None:
+    rng = np.random.default_rng(6)
+    Z = rng.normal(size=(20, 22))
+    coeffs = sampling.bspline_prefilter_2d(Z, xp=np)
+    factor = 4
+    fine = sampling.bspline_upsample(coeffs, factor, xp=np)
+    assert fine.shape == (80, 88)
+    # Fine cell (i, j) centers at coarse ((i+0.5)/f - 0.5, (j+0.5)/f - 0.5).
+    ii, jj = np.meshgrid(np.arange(80), np.arange(88), indexing="ij")
+    rr = (ii + 0.5) / factor - 0.5
+    cc = (jj + 0.5) / factor - 0.5
+    exact = sampling.bspline_sample(coeffs, rr, cc, xp=np)
+    np.testing.assert_allclose(fine, exact, atol=1e-10)
+
+
+def test_upsample_bilinear_approximates_cubic() -> None:
+    """The fast likelihood path (4x upsample + bilinear) stays within
+    ~1e-3 of the exact cubic spline on smooth surfaces."""
+    x, y = np.meshgrid(np.linspace(0, 3, 27), np.linspace(0, 3, 27))
+    Z = np.sin(x) * np.cos(y)  # smooth like an SSE surface
+    coeffs = sampling.bspline_prefilter_2d(Z, xp=np)
+    rng = np.random.default_rng(7)
+    pts = rng.uniform([1, 1], [25, 25], size=(500, 2))
+    exact = sampling.bspline_sample(coeffs, pts[:, 0], pts[:, 1], xp=np)
+    factor = 4
+    fine = sampling.bspline_upsample(coeffs, factor, xp=np)
+    fr = (pts[:, 0] + 0.5) * factor - 0.5
+    fc = (pts[:, 1] + 0.5) * factor - 0.5
+    approx = sampling.bilinear_sample(fine, fr, fc, xp=np)
+    assert np.abs(approx - exact).max() < 2e-3
