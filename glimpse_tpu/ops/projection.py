@@ -251,6 +251,38 @@ def undistort_regulafalsi(xy, k, p, iterations: int = 100, xp=np):
     return xp.where(frozen[..., None], uxy, x2)
 
 
+def undistort_lookup(xy, k, p, imgsz, f, c, density: float = 1.0):
+    """Undistortion by scattered-data lookup (host-only, camera.py:1266-1303).
+
+    Distorts a regular grid of normalized coordinates covering the frame and
+    interpolates the inverse mapping at the query points. Stable under
+    extreme distortion; slower than the iterative solvers and NumPy-only
+    (the device paths use the jit-safe iterative solvers).
+    """
+    import scipy.interpolate
+
+    corners = np.array(
+        [[0, 0], [0.5, 0], [1, 0], [1, 0.5], [1, 1], [0.5, 1], [0, 1], [0, 0.5]]
+    )
+    uv_edges = imgsz * corners
+    xyu_edges = (uv_edges - (imgsz / 2 + c)) / f
+    xyd_edges = distort(xyu_edges, k, p, np)
+    ux = np.linspace(
+        min(xyu_edges[:, 0].min(), xyd_edges[:, 0].min()),
+        max(xyu_edges[:, 0].max(), xyd_edges[:, 0].max()),
+        int(density * imgsz[0]),
+    )
+    uy = np.linspace(
+        min(xyu_edges[:, 1].min(), xyd_edges[:, 1].min()),
+        max(xyu_edges[:, 1].max(), xyd_edges[:, 1].max()),
+        int(density * imgsz[1]),
+    )
+    UX, UY = np.meshgrid(ux, uy)
+    uxy = np.column_stack((UX.ravel(), UY.ravel()))
+    dxy = distort(uxy, k, p, np)
+    return scipy.interpolate.griddata(dxy, uxy, xy, method="linear")
+
+
 def undistort(xy, k, p, method: str = "oulu", xp=np, **kwargs):
     """Remove distortion from normalized camera coordinates.
 

@@ -255,3 +255,19 @@ def test_jax_vmap_over_cameras() -> None:
     batched = jax.vmap(lambda v: proj.project(v, xyz, xp=jnp))(vectors)
     expected = np.stack([c.xyz_to_uv(np.asarray(xyz)) for c in cams])
     np.testing.assert_allclose(np.asarray(batched), expected, atol=1e-3)
+
+
+def test_undistort_lookup_matches_iterative() -> None:
+    cam = Camera(imgsz=(100, 100), f=(100, 100), k=(-0.3, 0.1), p=(0.005, -0.005))
+    uv = cam.grid(step=10, mode="points")
+    xy = (uv - (cam.imgsz * 0.5 + cam.c)) / cam.f
+    dxy = cam._distort(xy)
+    from glimpse_tpu.ops import projection as proj_ops
+
+    lookup = proj_ops.undistort_lookup(
+        dxy, cam.k, cam.p, cam.imgsz.astype(float), cam.f, cam.c, density=2
+    )
+    iterative = cam._undistort(dxy, method="oulu")
+    finite = np.isfinite(lookup).all(axis=1)
+    assert finite.mean() > 0.8
+    np.testing.assert_allclose(lookup[finite], iterative[finite], atol=5e-3)

@@ -115,3 +115,19 @@ def test_resampling_jax_batched() -> None:
     idx = resampling.resample_jax(jax.random.PRNGKey(1), weights, "systematic")
     assert idx.shape == (5, 4)
     assert (np.asarray(idx) == 2).all()
+
+
+def test_profiling_timer() -> None:
+    from glimpse_tpu import profiling
+
+    timer = profiling.Timer()
+    with timer("phase_a"):
+        sum(range(1000))
+    with timer("phase_a"):
+        sum(range(1000))
+    with timer("phase_b"):
+        pass
+    assert timer.counts["phase_a"] == 2
+    assert "phase_a" in timer.report()
+    d = timer.as_dict()
+    assert d["phase_b"]["calls"] == 1
