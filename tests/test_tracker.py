@@ -190,3 +190,49 @@ def test_observer_split_and_subset() -> None:
     assert parts[0].datetimes[-1] == parts[1].datetimes[0]
     sub = obs.subset(start=T0 + DAY)
     assert len(sub.images) == 3
+
+
+def test_split_track_fuse_workflow() -> None:
+    """Sequence-parallel workflow: chunk the observer, track each chunk,
+    fuse forward and backward runs by inverse variance (SURVEY.md section 5:
+    the reference's long-sequence strategy)."""
+    obs = make_observer(n_frames=6, shift=(1.5, 0.5))
+    obs.sigma = 0.15
+
+    def fresh_motion(seed):
+        # Nonzero z noise everywhere: inverse-variance fusion requires
+        # nonzero sigmas in all six state components.
+        return CartesianMotion(
+            xy=(60.0, 60.0), time_unit=DAY, dem=0.0, dem_sigma=0.2, n=800,
+            xy_sigma=(1.5, 1.5), vxyz_sigma=(3, 3, 0.1),
+            axyz_sigma=(0.2, 0.2, 0.01), seed=seed,
+        )
+
+    # Forward pass.
+    forward = Tracker([obs], seed=1).track([fresh_motion(1)], tile_size=(15, 15))
+    # Backward pass: reverse the observer's images.
+    rev_images = []
+    for img, dt in zip(obs.images[::-1], obs.datetimes):
+        r = img.copy()
+        r.datetime = dt
+        rev_images.append(r)
+    obs_rev = Observer(rev_images, sigma=obs.sigma)
+    backward = Tracker([obs_rev], seed=2).track(
+        [fresh_motion(2)], tile_size=(15, 15)
+    )
+    backward.reverse()
+    backward.datetimes = forward.datetimes
+    # Negate velocities measured backward in time.
+    backward.means[:, :, 3:6] *= -1
+    fused = Tracks.from_multiple([forward, backward])
+    assert fused.means.shape == forward.means.shape
+    # Fused uncertainty is no larger than either pass where both are valid.
+    both = ~np.isnan(forward.sigmas[..., 0]) & ~np.isnan(backward.sigmas[..., 0])
+    assert (
+        fused.sigmas[..., 0][both]
+        <= np.minimum(forward.sigmas[..., 0], backward.sigmas[..., 0])[both] + 1e-9
+    ).all()
+    # Observer.split chunking covers the full sequence with overlap.
+    parts = obs.split(2, overlap=1)
+    assert parts[0].datetimes[-1] == parts[1].datetimes[0]
+    assert len(parts[0].images) + len(parts[1].images) == len(obs.images) + 1
