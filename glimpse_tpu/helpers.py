@@ -37,6 +37,16 @@ def format_list(
 
     If the input is shorter than ``length``, it is padded with ``default``
     (if given) or repeated (if ``length`` is a multiple of the input length).
+
+    Examples:
+        >>> format_list([0, 1], length=1)
+        [0]
+        >>> format_list([0, 1], length=3, default=2)
+        [0, 1, 2]
+        >>> format_list([0, 1], length=4)
+        [0, 1, 0, 1]
+        >>> format_list([0, 1], dtype=float)
+        [0.0, 1.0]
     """
     if x is None:
         raise ValueError("Input cannot be None")
@@ -195,7 +205,13 @@ def write_json(
 
 
 def normalize(a: np.ndarray) -> np.ndarray:
-    """Normalize array to mean 0, variance 1."""
+    """Normalize array to mean 0, variance 1.
+
+    Examples:
+        >>> x = normalize(np.array([0, 1, 2, 3]))
+        >>> float(x.mean()), float(x.std())
+        (0.0, 1.0)
+    """
     return (a - a.mean()) * (1 / a.std())
 
 
@@ -251,7 +267,14 @@ def compute_cdf(
 def match_cdf(
     a: np.ndarray, cdf: Union[Tuple[Iterable, Iterable], np.ndarray]
 ) -> np.ndarray:
-    """Transform array values to match a target CDF (histogram matching)."""
+    """Transform array values to match a target CDF (histogram matching).
+
+    Examples:
+        >>> a = np.array([3, 2, 1, 2])
+        >>> b = np.array([4, 2, 1, 2, 4, 2, 1, 2])
+        >>> match_cdf(a, b)
+        array([4., 2., 1., 2.])
+    """
     _, quantiles, inverse = compute_cdf(a, return_inverse=True)
     if isinstance(cdf, np.ndarray):
         cdf = compute_cdf(cdf, return_inverse=False)
@@ -371,13 +394,24 @@ def box_to_polygon(box: Iterable) -> np.ndarray:
 
 
 def in_box(points: np.ndarray, box: Iterable) -> np.ndarray:
-    """Test whether points are in (or on) a box."""
+    """Test whether points are in (or on) a box.
+
+    Examples:
+        >>> points = np.array([(0, 0), (1, 1), (2, 2), (3, 3)])
+        >>> in_box(points, box=[1, 1, 2.5, 2.5])
+        array([False,  True,  True, False])
+    """
     box = unravel_box(box)
     return np.all((points >= box[0, :]) & (points <= box[1, :]), axis=1)
 
 
 def intersect_boxes(boxes: Iterable[Iterable]) -> np.ndarray:
-    """Return the intersection of boxes (xmin, ..., xmax, ...)."""
+    """Return the intersection of boxes (xmin, ..., xmax, ...).
+
+    Examples:
+        >>> intersect_boxes(((0, 0, 10, 10), (5, 5, 15, 15)))
+        array([ 5,  5, 10, 10])
+    """
     boxes = np.asarray(boxes)
     if boxes.shape[1] % 2 != 0:
         raise ValueError("Box lengths are not divisible by 2")
@@ -535,6 +569,16 @@ def bresenham_line(start: Iterable[int], end: Iterable[int]) -> np.ndarray:
 
     Matches the classic run-length algorithm: exactly max(|dx|, |dy|) + 1
     cells, stepping the minor axis when the accumulated error crosses zero.
+
+    Examples:
+        >>> bresenham_line((0, 0), (2, 1))
+        array([[0, 0],
+               [1, 0],
+               [2, 1]])
+        >>> bresenham_line((0, 0), (0, 2))
+        array([[0, 0],
+               [0, 1],
+               [0, 2]])
     """
     x1, y1 = int(start[0]), int(start[1])
     x2, y2 = int(end[0]), int(end[1])
@@ -669,7 +713,13 @@ def rasterize_points(
     shape: Iterable[int] = None,
     a: np.ndarray = None,
 ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
-    """Scatter points into raster cells, averaging values landing in a cell."""
+    """Scatter points into raster cells, averaging values landing in a cell.
+
+    Examples:
+        >>> idx, means = rasterize_points((0, 0, 1), (0, 0, 1), (1, 2, 3), shape=(4, 3))
+        >>> idx.tolist(), means.tolist()
+        ([0, 4], [1.5, 3.0])
+    """
     values = np.asarray(values)
     if shape is None:
         shape = a.shape
@@ -728,7 +778,14 @@ def polygons_to_mask(
 def elevation_corrections(
     squared_distances: Iterable, radius: float = 6.3781e6, refraction: float = 0.13
 ) -> np.ndarray:
-    """Elevation corrections for earth curvature and atmospheric refraction."""
+    """Elevation corrections for earth curvature and atmospheric refraction.
+
+    Follows the (refraction - 1) d^2 / (2 radius) survey correction.
+
+    Examples:
+        >>> round(float(elevation_corrections(np.array([1e8]))[0]), 2)
+        -6.82
+    """
     return (refraction - 1) * np.asarray(squared_distances) / (2 * radius)
 
 
