@@ -58,7 +58,12 @@ def match_cdf(a, cdf, xp=np):
 
 def median_filter(tile, size: Tuple[int, int] = (5, 5), xp=np):
     """Median filter with reflect ('symmetric') boundary, matching
-    scipy.ndimage.median_filter defaults. Works on (..., H, W) stacks."""
+    scipy.ndimage.median_filter defaults. Works on (..., H, W) stacks.
+
+    Small windows (<= 25 taps) use an odd-even transposition min/max network
+    — pure elementwise VPU work, much faster on TPU than a sort and exactly
+    equal to it.
+    """
     ky, kx = size
     py, px = ky // 2, kx // 2
     pad = [(0, 0)] * (tile.ndim - 2) + [(py, ky - 1 - py), (px, kx - 1 - px)]
@@ -68,8 +73,28 @@ def median_filter(tile, size: Tuple[int, int] = (5, 5), xp=np):
     for dy in range(ky):
         for dx in range(kx):
             shifts.append(padded[..., dy : dy + H, dx : dx + W])
+    if len(shifts) <= 25:
+        return median_network(shifts, xp=xp)
     stacked = xp.stack(shifts, axis=0)
     return xp.median(stacked, axis=0)
+
+
+def median_network(values, xp=np):
+    """Median of a list of equal-shape arrays via odd-even transposition.
+
+    O(k^2) min/max compare-exchanges; exact (including the even-k mean
+    convention) and free of sorts/gathers.
+    """
+    vals = list(values)
+    k = len(vals)
+    for pass_ in range(k):
+        for i in range(pass_ % 2, k - 1, 2):
+            lo = xp.minimum(vals[i], vals[i + 1])
+            hi = xp.maximum(vals[i], vals[i + 1])
+            vals[i], vals[i + 1] = lo, hi
+    if k % 2:
+        return vals[k // 2]
+    return 0.5 * (vals[k // 2 - 1] + vals[k // 2])
 
 
 def highpass(tile, size: Tuple[int, int] = (5, 5), xp=np):

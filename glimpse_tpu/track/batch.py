@@ -220,9 +220,13 @@ class BatchConfig:
     # SSE likelihood sampling: 0 evaluates the cubic spline exactly at each
     # particle (16 gathers); factor f >= 2 evaluates the spline on an f-x
     # regular fine grid with MXU matmuls and samples it bilinearly (4
-    # gathers) - much faster on TPU, sub-0.01 px difference for smooth SSE
-    # surfaces.
+    # gathers) or by nearest neighbor (1 gather) - much faster on TPU,
+    # sub-0.01 px difference for smooth SSE surfaces.
     sse_upsample: int = 4
+    sse_sample_mode: str = "bilinear"  # 'bilinear' | 'nearest'
+    # Tile extraction: 'matmul' builds one-hot selectors and uses the MXU;
+    # 'gather' uses vmapped dynamic slices.
+    extract_mode: str = "matmul"
     resample_method: str = "systematic"
     dtype: Any = jnp.float32 if jnp is not None else None
 
@@ -265,6 +269,33 @@ def _extract_tiles(image, corners, size: Tuple[int, int]):
         return jax.lax.dynamic_slice(image, (corner[0], corner[1]), size)
 
     return jax.vmap(one)(corners)
+
+
+def _extract_tiles_matmul(image, corners, size: Tuple[int, int], dtype=None):
+    """Tile extraction as two one-hot matmuls (MXU) instead of gathers.
+
+    out[n, i, j] = image[r0_n + i, c0_n + j] expressed as
+    R_n @ image @ C_n^T with one-hot selector matrices built from iota
+    comparisons. TPU gathers run at ~10 ms per million elements; the
+    equivalent matmuls take well under a millisecond.
+    """
+    H, W = image.shape
+    th, tw = size
+    if dtype is None:
+        dtype = image.dtype
+    iota_h = jax.lax.broadcasted_iota(jnp.int32, (1, 1, H), 2)
+    iota_th = jax.lax.broadcasted_iota(jnp.int32, (1, th, 1), 1)
+    rows_onehot = (corners[:, 0][:, None, None] + iota_th == iota_h).astype(dtype)
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (1, 1, W), 2)
+    iota_tw = jax.lax.broadcasted_iota(jnp.int32, (1, tw, 1), 1)
+    cols_onehot = (corners[:, 1][:, None, None] + iota_tw == iota_w).astype(dtype)
+    rows = jnp.einsum(
+        "nih,hw->niw", rows_onehot, image.astype(dtype),
+        preferred_element_type=dtype,
+    )
+    return jnp.einsum(
+        "niw,njw->nij", rows, cols_onehot, preferred_element_type=dtype
+    )
 
 
 def _prepare_search_tiles(tiles, table, highpass_size):
@@ -348,7 +379,10 @@ def observer_log_likelihoods(
     corner_col = jnp.clip(jnp.round(uv_mean[:, 0] - sw * 0.5).astype(jnp.int32), 0, W - sw)
     corner_row = jnp.clip(jnp.round(uv_mean[:, 1] - sh * 0.5).astype(jnp.int32), 0, H - sh)
     corners = jnp.stack([corner_row, corner_col], axis=-1)
-    search = _extract_tiles(image, corners, (sh, sw))  # (N, sh, sw)
+    if cfg.extract_mode == "matmul":
+        search = _extract_tiles_matmul(image, corners, (sh, sw), dtype=cfg.dtype)
+    else:
+        search = _extract_tiles(image, corners, (sh, sw))  # (N, sh, sw)
     search = _prepare_search_tiles(search, template_table, cfg.highpass_size)
     sse = ncc.sse_map_batched(search, templates, xp=jnp)  # (N, oh, ow)
     sse = sse * (1.0 / (th * tw))
@@ -373,9 +407,16 @@ def observer_log_likelihoods(
             )
             fr = (rows_c + 0.5) * factor - 0.5
             fc = (cols_c + 0.5) * factor - 0.5
-            sampled = jax.vmap(
-                lambda s, r, co: sampling_ops.bilinear_sample(s, r, co, xp=jnp)
-            )(fine, fr, fc)
+            if cfg.sse_sample_mode == "nearest":
+                fh, fw = fine.shape[-2], fine.shape[-1]
+                ri = jnp.clip(jnp.round(fr).astype(jnp.int32), 0, fh - 1)
+                ci = jnp.clip(jnp.round(fc).astype(jnp.int32), 0, fw - 1)
+                flat = fine.reshape(fine.shape[0], fh * fw)
+                sampled = jnp.take_along_axis(flat, ri * fw + ci, axis=-1)
+            else:
+                sampled = jax.vmap(
+                    lambda s, r, co: sampling_ops.bilinear_sample(s, r, co, xp=jnp)
+                )(fine, fr, fc)
         else:
             padded = sampling_ops.bspline_pad_coeffs(coeffs, xp=jnp)
             sampled = jax.vmap(
