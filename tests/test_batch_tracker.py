@@ -237,3 +237,63 @@ def test_checkpoint_roundtrip(tmp_path) -> None:
     np.testing.assert_array_equal(
         np.asarray(next_a.particles), np.asarray(next_b.particles)
     )
+
+
+def test_batch_tracker_multi_observer() -> None:
+    """Two cameras viewing the same scene tighten the estimate."""
+    velocity = (2.0, 1.0)
+    cam1, frames1, _ = make_scene(n_frames=5, velocity=velocity)
+    # Second camera: same scene from a slightly different nadir position.
+    import scipy.ndimage
+
+    rng = np.random.default_rng(0)
+    world = scipy.ndimage.gaussian_filter(rng.normal(size=(500, 500)), 0.8) * 100
+    texture = Raster(world, x=(0, 500), y=(500, 0))
+    cam2 = Camera(imgsz=256, f=300, xyz=(260, 240, 300), viewdir=(0, -90, 0))
+    uv = cam2.grid(step=1, mode="points")
+    rays = cam2.uv_to_xyz(uv)
+    t = -cam2.xyz[2] / rays[:, 2]
+    ground = cam2.xyz + rays * t[:, None]
+    frames2 = []
+    for i in range(5):
+        shifted = np.column_stack(
+            [ground[:, 0] - velocity[0] * i, ground[:, 1] - velocity[1] * i]
+        )
+        frames2.append(
+            texture.sample(shifted, bounds_error=False, fill_value=0.0).reshape(
+                256, 256
+            )
+        )
+    frames2 = np.stack(frames2)
+    points_xy = np.array([[250.0, 250.0], [230.0, 260.0]])
+    motion = make_motion(points_xy)
+    tracker = BatchTracker(
+        camera_vectors=np.stack([cam1.to_array(), cam2.to_array()]),
+        corrections=[None, None],
+        sigmas=[0.15, 0.15],
+        motion=motion,
+        config=BatchConfig(n_particles=512, search_size=(41, 41)),
+    )
+    images = np.stack([frames1, frames2], axis=1)  # (T, O=2, H, W)
+    state, outputs = tracker.track(jax.random.PRNGKey(0), images, np.ones(4))
+    v = np.asarray(outputs["mean"])[-1, :, 3:5]
+    assert np.abs(v - np.asarray(velocity)).max() < 0.75, v
+
+
+def test_batch_tracker_stream_matches_scan() -> None:
+    """Frame-streamed tracking gives the same shapes/finite outputs."""
+    cam, frames, _ = make_scene(n_frames=4)
+    motion = make_motion(np.array([[250.0, 250.0]]))
+    tracker = BatchTracker(
+        camera_vectors=cam.to_array()[None], corrections=[None], sigmas=[0.15],
+        motion=motion, config=BatchConfig(n_particles=128),
+    )
+    state, outputs = tracker.track_stream(
+        jax.random.PRNGKey(0),
+        frames[0][None],
+        (f[None] for f in frames[1:]),
+        np.ones(3),
+    )
+    assert len(outputs) == 3
+    assert np.isfinite(np.asarray(outputs[-1]["mean"])).all()
+    assert int(np.asarray(state.step)) == 3
