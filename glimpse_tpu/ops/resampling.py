@@ -73,7 +73,7 @@ def systematic_jax(key, weights):
     u = jax.random.uniform(key, weights.shape[:-1] + (1,))
     positions = (jnp.arange(n) + u) / n
     cum = jnp.cumsum(w, axis=-1)
-    return _batched_searchsorted(cum, positions)
+    return _batched_searchsorted(cum, positions, queries_sorted=True)
 
 
 def stratified_jax(key, weights):
@@ -85,7 +85,7 @@ def stratified_jax(key, weights):
     u = jax.random.uniform(key, weights.shape)
     positions = (jnp.arange(n) + u) / n
     cum = jnp.cumsum(w, axis=-1)
-    return _batched_searchsorted(cum, positions)
+    return _batched_searchsorted(cum, positions, queries_sorted=True)
 
 
 def residual_jax(key, weights):
@@ -107,7 +107,8 @@ def residual_jax(key, weights):
     # side='right': slot k belongs to the first particle whose cumulative
     # count exceeds k.
     det_idx = _batched_searchsorted(
-        cum_counts, jnp.broadcast_to(slots, w.shape), side="right"
+        cum_counts, jnp.broadcast_to(slots, w.shape), side="right",
+        queries_sorted=True,
     )
     residuals = w * n - counts
     res_sum = jnp.sum(residuals, axis=-1, keepdims=True)
@@ -123,19 +124,23 @@ def choice_jax(key, weights):
 
     n = weights.shape[-1]
     w = weights / jnp.sum(weights, axis=-1, keepdims=True)
-    u = jax.random.uniform(key, weights.shape)
+    # Resampled particles are exchangeable: sorting the draws is harmless
+    # and lets the merge rank skip the query-rank sorts.
+    u = jnp.sort(jax.random.uniform(key, weights.shape), axis=-1)
     cum = jnp.cumsum(w, axis=-1)
-    return _batched_searchsorted(cum, u)
+    return _batched_searchsorted(cum, u, queries_sorted=True)
 
 
-def _batched_searchsorted(sorted_arrays, values, side: str = "left"):
+def _batched_searchsorted(sorted_arrays, values, side: str = "left",
+                          queries_sorted: bool = False):
     """searchsorted along the last axis for equally-shaped batches.
 
     Implemented by merge ranking — concatenate, argsort, take rank
     differences — which costs two sorts instead of the per-element binary
-    search gathers that dominate TPU time. Ties between table and query
-    values resolve to ``side='right'`` semantics (measure-zero for the
-    continuous weights this is used on).
+    search gathers that dominate TPU time. With ``queries_sorted`` the two
+    query-rank sorts are skipped (systematic/stratified positions are
+    ascending by construction). Ties between table and query values resolve
+    to ``side='right'`` semantics (measure-zero for continuous weights).
     """
     import jax
     import jax.numpy as jnp
@@ -147,9 +152,12 @@ def _batched_searchsorted(sorted_arrays, values, side: str = "left"):
     # Stable argsort places table entries before tied queries.
     order = jnp.argsort(merged, axis=-1, stable=True)
     ranks = jnp.argsort(order, axis=-1, stable=True)
-    # Insertion index = merged rank minus rank among the queries themselves.
-    qorder = jnp.argsort(values, axis=-1, stable=True)
-    qranks = jnp.argsort(qorder, axis=-1, stable=True)
+    if queries_sorted:
+        qranks = jnp.arange(Q)
+    else:
+        # Insertion index = merged rank minus rank among the queries.
+        qorder = jnp.argsort(values, axis=-1, stable=True)
+        qranks = jnp.argsort(qorder, axis=-1, stable=True)
     insertion = ranks[..., P:] - qranks
     return jnp.clip(insertion, 0, P - 1)
 
