@@ -228,6 +228,8 @@ class BatchConfig:
     # 'gather' uses vmapped dynamic slices.
     extract_mode: str = "matmul"
     resample_method: str = "systematic"
+    # Whether step outputs include full 6x6 weighted covariances.
+    return_covariances: bool = False
     dtype: Any = jnp.float32 if jnp is not None else None
 
 
@@ -584,7 +586,10 @@ class BatchTracker:
             step=state.step + 1,
         )
         mean, sigma = particle_moments(particles, weights)
-        return new_state, {"mean": mean, "sigma": sigma}
+        outputs = {"mean": mean, "sigma": sigma}
+        if cfg.return_covariances:
+            outputs["covariance"] = particle_covariances(particles, weights)
+        return new_state, outputs
 
     # -- full sequence -- #
 
@@ -668,3 +673,41 @@ def particle_moments(particles, weights):
     centered = particles - mean[..., None, :]
     var = jnp.sum(centered * centered * w[..., None], axis=-2)
     return mean, jnp.sqrt(var)
+
+
+def particle_covariances(particles, weights):
+    """Weighted (biased) covariance over the particle axis: (N, 6, 6)."""
+    w = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    mean = jnp.sum(particles * w[..., None], axis=-2)
+    centered = particles - mean[..., None, :]
+    return jnp.einsum("npi,npj,np->nij", centered, centered, w)
+
+
+def to_tracks(datetimes, time_unit, outputs, covariances: bool = False):
+    """Wrap BatchTracker outputs in the host :class:`Tracks` container.
+
+    ``outputs`` come from :meth:`BatchTracker.track` (time-major); the first
+    datetime corresponds to the template frame, whose state is not emitted,
+    so it is filled with NaN like the reference's pre-first-observation rows.
+    """
+    from .tracks import Tracks
+
+    means = np.asarray(outputs["mean"])  # (T-1, N, 6)
+    sigmas = np.asarray(outputs["sigma"])
+    T1, N = means.shape[0], means.shape[1]
+    full_means = np.full((N, T1 + 1, 6), np.nan)
+    full_means[:, 1:] = np.moveaxis(means, 0, 1)
+    kwargs = {}
+    if covariances and "covariance" in outputs:
+        cov = np.asarray(outputs["covariance"])
+        full_cov = np.full((N, T1 + 1, 6, 6), np.nan)
+        full_cov[:, 1:] = np.moveaxis(cov, 0, 1)
+        kwargs["covariances"] = full_cov
+    else:
+        full_sigmas = np.full((N, T1 + 1, 6), np.nan)
+        full_sigmas[:, 1:] = np.moveaxis(sigmas, 0, 1)
+        kwargs["sigmas"] = full_sigmas
+    return Tracks(
+        datetimes=np.asarray(datetimes), time_unit=time_unit, means=full_means,
+        **kwargs,
+    )

@@ -297,3 +297,27 @@ def test_batch_tracker_stream_matches_scan() -> None:
     assert len(outputs) == 3
     assert np.isfinite(np.asarray(outputs[-1]["mean"])).all()
     assert int(np.asarray(state.step)) == 3
+
+
+def test_batch_outputs_to_tracks() -> None:
+    import datetime
+
+    from glimpse_tpu.track.batch import to_tracks
+
+    cam, frames, _ = make_scene(n_frames=4)
+    motion = make_motion(np.array([[250.0, 250.0], [240.0, 255.0]]))
+    tracker = BatchTracker(
+        camera_vectors=cam.to_array()[None], corrections=[None], sigmas=[0.15],
+        motion=motion,
+        config=BatchConfig(n_particles=128, return_covariances=True),
+    )
+    state, outputs = tracker.track(jax.random.PRNGKey(0), frames[:, None], np.ones(3))
+    assert outputs["covariance"].shape == (3, 2, 6, 6)
+    t0 = datetime.datetime(2020, 1, 1)
+    day = datetime.timedelta(days=1)
+    datetimes = [t0 + i * day for i in range(4)]
+    tracks = to_tracks(datetimes, day, outputs, covariances=True)
+    assert tracks.means.shape == (2, 4, 6)
+    assert np.isnan(tracks.means[:, 0]).all()
+    assert tracks.covariances.shape == (2, 4, 6, 6)
+    assert tracks.xyz_sigma.shape == (2, 4, 3)
