@@ -73,7 +73,10 @@ def median_filter(tile, size: Tuple[int, int] = (5, 5), xp=np):
     for dy in range(ky):
         for dx in range(kx):
             shifts.append(padded[..., dy : dy + H, dx : dx + W])
-    if len(shifts) <= 25:
+    if xp is np and len(shifts) <= 25:
+        # Odd-even network beats numpy's sort for small windows; on the JAX
+        # path the single sort HLO compiles far faster than ~600 unrolled
+        # min/max ops (XLA-TPU compile time is superlinear in op count).
         return median_network(shifts, xp=xp)
     stacked = xp.stack(shifts, axis=0)
     return xp.median(stacked, axis=0)
