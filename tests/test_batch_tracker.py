@@ -321,3 +321,22 @@ def test_batch_outputs_to_tracks() -> None:
     assert np.isnan(tracks.means[:, 0]).all()
     assert tracks.covariances.shape == (2, 4, 6, 6)
     assert tracks.xyz_sigma.shape == (2, 4, 3)
+
+
+def test_stream_track_with_feeder() -> None:
+    from glimpse_tpu.track.feeder import FrameFeeder, stream_track
+
+    cam, frames, _ = make_scene(n_frames=4)
+    motion = make_motion(np.array([[250.0, 250.0]]))
+    tracker = BatchTracker(
+        camera_vectors=cam.to_array()[None], corrections=[None], sigmas=[0.15],
+        motion=motion, config=BatchConfig(n_particles=128),
+    )
+    observers = [[f for f in frames]]  # raw arrays feed directly
+    feeder = FrameFeeder(observers, prefetch=2)
+    assert len(feeder) == 4
+    state, outputs = stream_track(
+        tracker, jax.random.PRNGKey(0), observers, np.ones(3)
+    )
+    assert len(outputs) == 3
+    assert np.isfinite(np.asarray(outputs[-1]["mean"])).all()

@@ -236,3 +236,19 @@ def test_split_track_fuse_workflow() -> None:
     parts = obs.split(2, overlap=1)
     assert parts[0].datetimes[-1] == parts[1].datetimes[0]
     assert len(parts[0].images) + len(parts[1].images) == len(obs.images) + 1
+
+
+def test_tracker_parallel_threads_match_serial_structure() -> None:
+    """Thread-parallel tracking produces one valid result per model."""
+    obs = make_observer(n_frames=3)
+    models = [
+        CartesianMotion(
+            xy=(55.0 + 5 * i, 60.0), time_unit=DAY, dem=0.0, n=200,
+            xy_sigma=(2, 2), vxyz_sigma=(2, 2, 0), seed=i,
+        )
+        for i in range(3)
+    ]
+    tracks = Tracker([obs], seed=0).track(models, tile_size=(15, 15), parallel=3)
+    assert tracks.means.shape == (3, 3, 6)
+    assert tracks.success.all()
+    assert np.isfinite(tracks.means[:, -1, 0]).all()
