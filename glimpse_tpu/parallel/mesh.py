@@ -70,3 +70,44 @@ def shard_batch(tree, mesh, points_axes: dict = None):
         return jax.device_put(leaf, points_sharding(mesh, axis))
 
     return jax.tree_util.tree_map(put, tree)
+
+
+def initialize_distributed(
+    coordinator_address: str = None,
+    num_processes: int = None,
+    process_id: int = None,
+) -> None:
+    """Initialize multi-host JAX for pod-scale tracking.
+
+    Each host then builds the same :func:`get_mesh` over the global device
+    list and feeds its local shard of the points axis (the tracker step has
+    no cross-device collectives, so scaling is linear over ICI/DCN; see
+    SURVEY.md section 2.2). Arguments default to the standard JAX
+    environment variables when None.
+    """
+    import jax
+
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
+
+
+def local_points_slice(n_points: int, mesh=None) -> slice:
+    """The slice of the global points axis owned by this process.
+
+    Hosts construct their motion parameters and read their images only for
+    this slice, then place shards with :func:`points_sharding`.
+    """
+    import jax
+
+    n_procs = jax.process_count()
+    if n_procs == 1:
+        return slice(0, n_points)
+    per_host = -(-n_points // n_procs)
+    start = jax.process_index() * per_host
+    return slice(start, min(start + per_host, n_points))
