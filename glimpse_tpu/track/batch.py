@@ -467,6 +467,26 @@ class BatchTracker:
         self.mesh = mesh
         self.n_observers = self.camera_vectors.shape[0]
 
+    @classmethod
+    def from_observers(cls, observers, motion: BatchMotion,
+                       config: "BatchConfig" = None, mesh=None) -> "BatchTracker":
+        """Build a device tracker from host :class:`Observer` sequences.
+
+        Camera vectors, elevation corrections, and pixel-noise sigmas come
+        from each observer's first image; frames are supplied separately
+        (e.g. via :func:`glimpse_tpu.track.feeder.stream_track`).
+        """
+        vectors, corrections, sigmas = [], [], []
+        for obs in observers:
+            cam = obs.images[0].cam
+            vectors.append(cam.to_array())
+            corrections.append(cam._correction_tuple)
+            sigmas.append(obs.sigma)
+        return cls(
+            camera_vectors=np.stack(vectors), corrections=corrections,
+            sigmas=sigmas, motion=motion, config=config, mesh=mesh,
+        )
+
     # -- sharding helpers -- #
 
     def _shard(self, tree, points_axis_by_path: Optional[dict] = None):

@@ -340,3 +340,52 @@ def test_stream_track_with_feeder() -> None:
     )
     assert len(outputs) == 3
     assert np.isfinite(np.asarray(outputs[-1]["mean"])).all()
+
+
+def test_from_observers_bridge(tmp_path) -> None:
+    """Device tracker built from host Observers tracks a real image pair."""
+    import datetime
+    from pathlib import Path
+
+    from glimpse_tpu import Image
+    from glimpse_tpu.track import Observer
+    from glimpse_tpu.track.feeder import stream_track
+
+    src = Path(__file__).parent / "assets" / "AK10b_20141013_020336.JPG"
+    import shutil
+
+    t0 = datetime.datetime(2020, 1, 1)
+    day = datetime.timedelta(days=1)
+    paths = []
+    for i in range(3):
+        p = tmp_path / f"f{i}.jpg"
+        shutil.copy(src, p)
+        paths.append(p)
+    cam_args = {"imgsz": (200, 134), "fmm": 20, "sensorsz": (23.6, 15.8),
+                "xyz": (0, 0, 0), "viewdir": (0, 0, 0)}
+    images = [Image(p, cam=dict(cam_args), datetime=t0 + i * day) for i, p in enumerate(paths)]
+    obs = Observer(images, sigma=0.3)
+    # A world point in front of the camera that projects mid-frame.
+    xyz = np.asarray(images[0].cam.uv_to_xyz(np.array([[100.0, 67.0]]), depth=50.0))
+    motion = BatchMotion(
+        kind="cartesian",
+        xy=jnp.asarray(xyz[:, 0:2], jnp.float32),
+        xy_sigma=jnp.full((1, 2), 0.1, jnp.float32),
+        v_mean=jnp.zeros((1, 3), jnp.float32),
+        v_sigma=jnp.full((1, 3), 0.05, jnp.float32),
+        a_mean=jnp.zeros((1, 3), jnp.float32),
+        a_sigma=jnp.zeros((1, 3), jnp.float32),
+        slope_sigma=jnp.zeros((1,), jnp.float32),
+        dem=DeviceRaster.constant(float(xyz[0, 2])),
+        dem_sigma=DeviceRaster.constant(0.05),
+        use_dem_sigma=True,
+    )
+    tracker = BatchTracker.from_observers(
+        [obs], motion, config=BatchConfig(n_particles=64, search_size=(31, 31))
+    )
+    state, outputs = stream_track(
+        tracker, jax.random.PRNGKey(0), [obs.images], np.ones(2)
+    )
+    # Static scene: the point should stay put.
+    mean = np.asarray(outputs[-1]["mean"])[0]
+    np.testing.assert_allclose(mean[0:2], xyz[0, 0:2], atol=0.5)
