@@ -222,8 +222,8 @@ class BatchConfig:
     # regular fine grid with MXU matmuls and samples it bilinearly (4
     # gathers) or by nearest neighbor (1 gather) - much faster on TPU,
     # sub-0.01 px difference for smooth SSE surfaces.
-    sse_upsample: int = 4
-    sse_sample_mode: str = "bilinear"  # 'bilinear' | 'nearest'
+    sse_upsample: int = 8
+    sse_sample_mode: str = "nearest"  # 'bilinear' | 'nearest'
     # Tile extraction: 'matmul' builds one-hot selectors and uses the MXU;
     # 'gather' uses vmapped dynamic slices.
     extract_mode: str = "matmul"
