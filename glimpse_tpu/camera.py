@@ -389,6 +389,13 @@ class Camera:
         xyz = self.uv_to_xyz(uv, directions=False, depth=depth)
         return np.vstack([self.xyz, xyz, self.xyz])
 
+    def set_plot_limits(self) -> None:
+        """Set current matplotlib axes limits to the image extent."""
+        import matplotlib.pyplot
+
+        matplotlib.pyplot.xlim(0, self.imgsz[0])
+        matplotlib.pyplot.ylim(self.imgsz[1], 0)
+
     def rasterize(self, uv: np.ndarray, values: np.ndarray) -> np.ndarray:
         """Convert image points to a raster of per-pixel mean values (NaN empty)."""
         mask = self.inframe(uv)

@@ -252,3 +252,35 @@ def test_project_images(tmp_path) -> None:
 
     a = geotiff.read(out)
     assert a.shape[0:2] == (67, 100)
+
+
+def test_cameras_fit_recovers_position() -> None:
+    """Absolute world control constrains camera position (xyz)."""
+    true = Camera(imgsz=(200, 150), f=(180, 180), xyz=(10, -5, 3), viewdir=(0, 0, 0))
+    rng = np.random.default_rng(4)
+    xyz = np.column_stack(
+        [rng.uniform(-60, 80, 50), rng.uniform(100, 200, 50), rng.uniform(-40, 40, 50)]
+    )
+    uv = true.xyz_to_uv(xyz)
+    keep = np.isfinite(uv).all(axis=1) & true.inframe(uv)
+    cam = Camera(imgsz=(200, 150), f=(180, 180), xyz=(0, 0, 0))
+    points = optimize.Points(cam=cam, uv=uv[keep], xyz=xyz[keep])
+    model = optimize.Cameras(
+        cams=[cam], controls=[points], cam_params=[{"xyz": True}]
+    )
+    values = model.fit()
+    np.testing.assert_allclose(values, (10, -5, 3), atol=1e-4)
+
+
+def test_cameras_fit_distortion_from_points() -> None:
+    """Radial distortion recovered from dense image-world control."""
+    true = Camera(imgsz=(200, 150), f=(180, 180), k=(-0.15, 0.05, 0, 0, 0, 0))
+    uv_grid = true.grid(step=10, mode="points")
+    rays = true.uv_to_xyz(uv_grid, depth=100.0, directions=False)
+    cam = Camera(imgsz=(200, 150), f=(180, 180))
+    points = optimize.Points(cam=cam, uv=uv_grid, xyz=rays)
+    model = optimize.Cameras(
+        cams=[cam], controls=[points], cam_params=[{"k": [0, 1]}]
+    )
+    values = model.fit()
+    np.testing.assert_allclose(values, (-0.15, 0.05), atol=1e-6)
