@@ -279,8 +279,11 @@ def test_cameras_fit_distortion_from_points() -> None:
     rays = true.uv_to_xyz(uv_grid, depth=100.0, directions=False)
     cam = Camera(imgsz=(200, 150), f=(180, 180))
     points = optimize.Points(cam=cam, uv=uv_grid, xyz=rays)
+    # Large distortions exceed the default stability bounds (+-f/4000):
+    # provide explicit bounds like the reference requires.
     model = optimize.Cameras(
-        cams=[cam], controls=[points], cam_params=[{"k": [0, 1]}]
+        cams=[cam], controls=[points],
+        cam_params=[{"k": ([0, 1], -0.5, 0.5)}],
     )
     values = model.fit()
     np.testing.assert_allclose(values, (-0.15, 0.05), atol=1e-6)
