@@ -7,7 +7,7 @@ camera calibration and sequence stabilization, and a Bayesian particle-filter
 tracker whose entire update step (projection, NCC template matching,
 likelihood, resampling) runs on-device, batched over thousands of points.
 """
-from . import config, convert, helpers, io, ops, optimize, parallel, svg
+from . import config, convert, helpers, io, native, ops, optimize, parallel, profiling, render, svg
 from .camera import Camera
 from .exif import Exif
 from .image import Image
@@ -24,9 +24,15 @@ from .track import (
 
 __all__ = [
     "config",
+    "convert",
     "helpers",
     "io",
+    "native",
     "ops",
+    "optimize",
+    "parallel",
+    "profiling",
+    "render",
     "svg",
     "Camera",
     "Exif",
