@@ -389,3 +389,59 @@ def test_from_observers_bridge(tmp_path) -> None:
     # Static scene: the point should stay put.
     mean = np.asarray(outputs[-1]["mean"])[0]
     np.testing.assert_allclose(mean[0:2], xyz[0, 0:2], atol=0.5)
+
+
+def test_batch_tracker_oblique_camera_dem_prior() -> None:
+    """Oblique view of a drifting surface with a DEM elevation prior —
+    the real glacier geometry (perspective foreshortening, 3-D motion)."""
+    import scipy.ndimage
+
+    rng = np.random.default_rng(5)
+    world = scipy.ndimage.gaussian_filter(rng.normal(size=(800, 800)), 1.0) * 80
+    texture = Raster(world, x=(-200, 600), y=(600, -200))
+    # Camera 250 m up, pitched down 40 degrees, looking north (+y).
+    cam = Camera(imgsz=(320, 240), f=400, xyz=(200, -100, 250),
+                 viewdir=(0, -40, 0))
+    uv = cam.grid(step=1, mode="points")
+    rays = cam.uv_to_xyz(uv)
+    t = -cam.xyz[2] / rays[:, 2]
+    ground = cam.xyz + rays * t[:, None]
+    velocity = (1.5, 1.0)
+    frames = []
+    for i in range(6):
+        shifted = ground[:, 0:2] - np.asarray(velocity) * i
+        frames.append(
+            texture.sample(shifted, bounds_error=False, fill_value=0.0).reshape(
+                240, 320
+            )
+        )
+    frames = np.stack(frames)
+    # Points on the visible surface (z = 0), moderate range.
+    points_xy = np.array([[180.0, 120.0], [220.0, 150.0], [200.0, 100.0]])
+    N = len(points_xy)
+    motion = BatchMotion(
+        kind="cartesian",
+        xy=jnp.asarray(points_xy, jnp.float32),
+        xy_sigma=jnp.full((N, 2), 1.0, jnp.float32),
+        v_mean=jnp.zeros((N, 3), jnp.float32),
+        v_sigma=jnp.full((N, 3), 2.0, jnp.float32).at[:, 2].set(0.05),
+        a_mean=jnp.zeros((N, 3), jnp.float32),
+        a_sigma=jnp.full((N, 3), 0.1, jnp.float32).at[:, 2].set(0.01),
+        slope_sigma=jnp.zeros((N,), jnp.float32),
+        dem=DeviceRaster.constant(0.0),
+        dem_sigma=DeviceRaster.constant(0.5),
+        use_dem_sigma=True,
+    )
+    tracker = BatchTracker(
+        camera_vectors=cam.to_array()[None], corrections=[None], sigmas=[0.2],
+        motion=motion,
+        config=BatchConfig(n_particles=1024, search_size=(41, 41)),
+    )
+    state, outputs = tracker.track(jax.random.PRNGKey(2), frames[:, None], np.ones(5))
+    means = np.asarray(outputs["mean"])
+    # World velocity recovered despite oblique perspective.
+    v = means[-1, :, 0:2] - points_xy  # displacement over 5 days
+    expected = np.asarray(velocity) * 5
+    assert np.median(np.abs(v - expected)) < 1.5, v
+    # z stays near the DEM prior.
+    assert np.abs(means[-1, :, 2]).max() < 1.5
