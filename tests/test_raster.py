@@ -341,3 +341,39 @@ def test_project_dem_nadir_identity() -> None:
     img = cam.project_dem(dem, values=values, return_depth=True)
     np.testing.assert_allclose(img[:, :, 0], values)
     np.testing.assert_allclose(img[:, :, 1], cam.xyz[2] - Z)
+
+
+def test_viewshed_jax_matches_numpy() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from glimpse_tpu.ops import terrain
+
+    rng = np.random.default_rng(1)
+    x, y = np.meshgrid(np.arange(17.0), np.arange(17.0))
+    Z = 4 * np.exp(-((x - 11) ** 2 + (y - 8) ** 2) / 6) + rng.normal(0, 0.02, (17, 17))
+    args = ((8.0, 3.0), float(Z[8, 3] + 2), 1.0)
+    vis_np = terrain.viewshed(Z, *args, xp=np)
+    vis_jax = np.asarray(
+        jax.jit(lambda a: terrain.viewshed(a, *args, xp=jnp))(jnp.asarray(Z))
+    )
+    assert (vis_np == vis_jax).mean() > 0.99
+
+
+def test_horizon_angles_jax_matches_numpy() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from glimpse_tpu.ops import terrain
+
+    rng = np.random.default_rng(2)
+    Z = rng.normal(size=(21, 21)).cumsum(axis=0)
+    thetas = np.linspace(-np.pi, np.pi, 36, endpoint=False)
+    out_np = terrain.horizon_angles(Z, (10.0, 10.0), 1.0, 1.0, thetas, xp=np)
+    out_jax = jax.jit(
+        lambda a, t: terrain.horizon_angles(a, (10.0, 10.0), 1.0, 1.0, t, xp=jnp)
+    )(jnp.asarray(Z), jnp.asarray(thetas))
+    np.testing.assert_allclose(
+        np.asarray(out_jax[0]), out_np[0], rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_array_equal(np.asarray(out_jax[3]), out_np[3])
