@@ -300,30 +300,49 @@ def _extract_tiles_matmul(image, corners, size: Tuple[int, int], dtype=None):
     )
 
 
+@functools.lru_cache(maxsize=8)
+def _quantile_interp_matrix(n: int, K: int):
+    """Constant (K, n) matrix: column j linearly interpolates a K-entry
+    quantile table at quantile (j + 1) / n (two nonzeros per column)."""
+    S = np.zeros((K, n), np.float32)
+    pos = np.clip((np.arange(n) + 1.0) / n * K - 0.5, 0.0, K - 1.0)
+    i0 = np.minimum(np.floor(pos).astype(np.int64), K - 2)
+    fr = pos - i0
+    cols = np.arange(n)
+    S[i0, cols] += 1.0 - fr
+    S[i0 + 1, cols] += fr
+    return S
+
+
 def _prepare_search_tiles(tiles, table, highpass_size):
     """Normalize + histogram-match + median-highpass a stack of tiles (N, h, w).
 
-    Histogram matching via rank statistics: each pixel's quantile comes from
-    a double argsort (two sorts — no per-element binary search), then maps
-    through the template's uniform quantile ``table`` with arithmetic
-    indexing (two gathers). Equivalent to empirical CDF matching up to ties
-    (measure-zero on continuous image data).
+    Histogram matching via rank statistics, sort-only (no per-element binary
+    search, no data-dependent gathers — both are slow on TPU):
+
+    1. sort pixel values carrying their positions (one ``lax.sort``);
+    2. the matched value at sort position j depends only on j (quantile
+       (j+1)/n of the template), so all matched values come from one constant
+       MXU matmul ``table @ S``;
+    3. un-permute by sorting (positions, matched) on the integer positions
+       (one more ``lax.sort`` — cheaper than a scatter on TPU).
+
+    Equivalent to empirical CDF matching up to ties (measure-zero on
+    continuous image data).
     """
     N, h, w = tiles.shape
     n = h * w
     K = table.shape[-1]
     t = imageproc.normalize(tiles, xp=jnp, axis=(-2, -1), eps=1e-12)
     flat = t.reshape(N, n)
-    order = jnp.argsort(flat, axis=-1, stable=True)
-    ranks = jnp.argsort(order, axis=-1, stable=True)
-    q = (ranks.astype(t.dtype) + 1.0) / n  # P(x <= v), searchsorted-right
-    # Linear interpolation into the uniform quantile table.
-    pos = q * K - 0.5
-    i0 = jnp.clip(jnp.floor(pos), 0, K - 2).astype(jnp.int32)
-    frac = jnp.clip(pos - i0, 0.0, 1.0)
-    lo = jnp.take_along_axis(table, i0, axis=-1)
-    hi = jnp.take_along_axis(table, i0 + 1, axis=-1)
-    matched = lo * (1 - frac) + hi * frac
+    iota = jax.lax.broadcasted_iota(jnp.int32, (N, n), 1)
+    _, order = jax.lax.sort((flat, iota), dimension=-1, num_keys=2)
+    m = jnp.matmul(
+        table,
+        jnp.asarray(_quantile_interp_matrix(n, K), dtype=table.dtype),
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (N, n): matched values in sorted order
+    _, matched = jax.lax.sort((order, m), dimension=-1, num_keys=1)
     t = matched.reshape(N, h, w)
     return imageproc.highpass(t, size=highpass_size, xp=jnp)
 
