@@ -184,6 +184,45 @@ def bspline_sample(coeffs, rows, cols, xp=np):
     return out
 
 
+def cubic_bspline_kernel(x, xp=np):
+    """The cubic B-spline kernel b3(x) (support |x| < 2)."""
+    ax = xp.abs(x)
+    ax2 = ax * ax
+    inner = (4.0 - 6.0 * ax2 + 3.0 * ax2 * ax) / 6.0
+    t = xp.maximum(2.0 - ax, 0.0)
+    outer = t * t * t / 6.0
+    return xp.where(ax < 1.0, inner, outer)
+
+
+def bspline_basis_dense(q, n: int, xp=np, dtype=None):
+    """Dense natural-BC cubic B-spline basis weights.
+
+    Returns B with shape ``q.shape + (n,)`` such that evaluating the spline
+    with coefficients c equals ``B @ c`` exactly for queries in [0, n-1]
+    (ghost coefficients c[-1] = 2c[0] - c[1] and c[n] = 2c[n-1] - c[n-2]
+    are folded into the first/last two columns, matching
+    :func:`bspline_sample`). No gathers: the basis is evaluated densely
+    against the whole index grid, so spline evaluation becomes a matmul —
+    the MXU-friendly form for many queries against a small grid.
+    """
+    if dtype is None:
+        dtype = getattr(q, "dtype", np.float64)
+    grid = xp.arange(n, dtype=dtype)
+    B = cubic_bspline_kernel(q[..., None] - grid, xp=xp)
+    # Fold the one reachable ghost on each side (queries are in [0, n-1]).
+    fold_lo = np.zeros(n, np.float64)
+    fold_lo[0] += 2.0
+    fold_lo[min(1, n - 1)] -= 1.0
+    fold_hi = np.zeros(n, np.float64)
+    fold_hi[n - 1] += 2.0
+    fold_hi[max(n - 2, 0)] -= 1.0
+    g_lo = cubic_bspline_kernel(q + 1.0, xp=xp)
+    g_hi = cubic_bspline_kernel(q - n, xp=xp)
+    B = B + g_lo[..., None] * xp.asarray(fold_lo, dtype=dtype)
+    B = B + g_hi[..., None] * xp.asarray(fold_hi, dtype=dtype)
+    return B
+
+
 def bspline_pad_coeffs(coeffs, xp=np):
     """Fold the natural-BC ghost coefficients into a 1-cell border.
 

@@ -217,13 +217,16 @@ class BatchConfig:
     # Histogram matching runs against a fixed-size quantile table (lossless
     # when >= template pixel count; SURVEY.md hard-part 3).
     n_quantiles: int = 256
-    # SSE likelihood sampling: 0 evaluates the cubic spline exactly at each
-    # particle (16 gathers); factor f >= 2 evaluates the spline on an f-x
-    # regular fine grid with MXU matmuls and samples it bilinearly (4
-    # gathers) or by nearest neighbor (1 gather) - much faster on TPU,
-    # sub-0.01 px difference for smooth SSE surfaces.
+    # SSE likelihood sampling mode:
+    #   'einsum' (default): EXACT bicubic evaluation with zero gathers —
+    #     dense per-axis basis weights contracted against the coefficient
+    #     grid on the MXU.
+    #   'nearest'/'bilinear': evaluate the spline on an ``sse_upsample``-x
+    #     regular fine grid with MXU matmuls, then sample it by nearest
+    #     neighbor (1 gather) or bilinearly (4 gathers); with
+    #     ``sse_upsample <= 1`` falls back to direct 16-gather evaluation.
     sse_upsample: int = 8
-    sse_sample_mode: str = "nearest"  # 'bilinear' | 'nearest'
+    sse_sample_mode: str = "einsum"  # 'einsum' | 'nearest' | 'bilinear'
     # Tile extraction: 'matmul' builds one-hot selectors and uses the MXU;
     # 'gather' uses vmapped dynamic slices.
     extract_mode: str = "matmul"
@@ -231,6 +234,29 @@ class BatchConfig:
     # Whether step outputs include full 6x6 weighted covariances.
     return_covariances: bool = False
     dtype: Any = jnp.float32 if jnp is not None else None
+
+    def __post_init__(self) -> None:
+        if self.sse_sample_mode not in ("einsum", "nearest", "bilinear"):
+            raise ValueError(
+                f"sse_sample_mode must be 'einsum', 'nearest', or 'bilinear',"
+                f" got {self.sse_sample_mode!r}"
+            )
+        if self.extract_mode not in ("matmul", "gather"):
+            raise ValueError(
+                f"extract_mode must be 'matmul' or 'gather',"
+                f" got {self.extract_mode!r}"
+            )
+        if self.resample_method not in (
+            "systematic", "stratified", "residual", "choice"
+        ):
+            raise ValueError(
+                f"unknown resample_method {self.resample_method!r}"
+            )
+        if self.interpolation_order not in (1, 3):
+            raise ValueError(
+                f"interpolation_order must be 1 or 3,"
+                f" got {self.interpolation_order!r}"
+            )
 
 
 @jax.tree_util.register_pytree_node_class
@@ -419,7 +445,22 @@ def observer_log_likelihoods(
     oob_d2 = (cols - cols_c) ** 2 + (rows - rows_c) ** 2
     if cfg.interpolation_order == 3:
         coeffs = sampling_ops.bspline_prefilter_2d(sse, xp=jnp, dtype=cfg.dtype)
-        if cfg.sse_upsample and cfg.sse_upsample > 1:
+        if cfg.sse_sample_mode == "einsum":
+            # Exact bicubic evaluation with ZERO gathers: dense per-axis
+            # basis weights contracted against the coefficient grid on the
+            # MXU (the oh/ow axes are small, the particle axis is huge).
+            Br = sampling_ops.bspline_basis_dense(
+                rows_c, oh, xp=jnp, dtype=cfg.dtype
+            )  # (N, P, oh)
+            Bc = sampling_ops.bspline_basis_dense(
+                cols_c, ow, xp=jnp, dtype=cfg.dtype
+            )  # (N, P, ow)
+            tmp = jnp.einsum(
+                "nph,nhw->npw", Br, coeffs,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            sampled = jnp.sum(tmp * Bc, axis=-1)
+        elif cfg.sse_upsample and cfg.sse_upsample > 1:
             # Exact spline values on a fine regular grid (two MXU matmuls),
             # then bilinear at the particles (4 gathers instead of 16).
             factor = cfg.sse_upsample

@@ -445,3 +445,18 @@ def test_batch_tracker_oblique_camera_dem_prior() -> None:
     assert np.median(np.abs(v - expected)) < 1.5, v
     # z stays near the DEM prior.
     assert np.abs(means[-1, :, 2]).max() < 1.5
+
+
+def test_batch_config_rejects_invalid_modes() -> None:
+    import pytest as _pytest
+
+    from glimpse_tpu.track.batch import BatchConfig
+
+    with _pytest.raises(ValueError, match="sse_sample_mode"):
+        BatchConfig(sse_sample_mode="einsumm")
+    with _pytest.raises(ValueError, match="extract_mode"):
+        BatchConfig(extract_mode="onehot")
+    with _pytest.raises(ValueError, match="resample_method"):
+        BatchConfig(resample_method="multinomial-ish")
+    with _pytest.raises(ValueError, match="interpolation_order"):
+        BatchConfig(interpolation_order=2)

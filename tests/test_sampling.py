@@ -105,3 +105,26 @@ def test_upsample_bilinear_approximates_cubic() -> None:
     fc = (pts[:, 1] + 0.5) * factor - 0.5
     approx = sampling.bilinear_sample(fine, fr, fc, xp=np)
     assert np.abs(approx - exact).max() < 2e-3
+
+
+def test_bspline_basis_dense_matches_exact() -> None:
+    """The gather-free dense-basis contraction equals direct evaluation,
+    including at clamped edges where ghost folds engage."""
+    rng = np.random.default_rng(7)
+    Z = rng.normal(size=(27, 25))
+    coeffs = sampling.bspline_prefilter_2d(Z, xp=np)
+    pts = rng.uniform([0, 0], [26, 24], size=(500, 2))
+    # Force edge coverage (q = 0 and q = n - 1 reach the ghost folds).
+    pts[:4] = [[0.0, 0.0], [26.0, 24.0], [0.0, 24.0], [26.0, 0.0]]
+    exact = sampling.bspline_sample(coeffs, pts[:, 0], pts[:, 1], xp=np)
+    Br = sampling.bspline_basis_dense(pts[:, 0], 27, xp=np)  # (Q, 27)
+    Bc = sampling.bspline_basis_dense(pts[:, 1], 25, xp=np)  # (Q, 25)
+    got = np.einsum("qh,hw,qw->q", Br, coeffs, Bc)
+    np.testing.assert_allclose(got, exact, atol=1e-12)
+
+
+def test_bspline_basis_dense_rows_sum_to_one() -> None:
+    """Partition of unity (with natural ghost folds) on [0, n-1]."""
+    q = np.linspace(0.0, 9.0, 101)
+    B = sampling.bspline_basis_dense(q, 10, xp=np)
+    np.testing.assert_allclose(B.sum(axis=-1), 1.0, atol=1e-12)
