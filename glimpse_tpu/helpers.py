@@ -917,3 +917,58 @@ def average_rasters(paths: Iterable[Union[str, Path]]) -> np.ndarray:
             )
         total += a / n
     return total
+
+
+def driver_from_path(path, raster: bool = True, vector: bool = True):
+    """Infer an IO driver name from a file extension.
+
+    GDAL-free stand-in for the reference's ``gdal_driver_from_path``
+    (helpers.py:651-678): returns the driver name string this package's IO
+    layer would use ('GTiff', 'JPEG', 'PNG', 'SVG', ...) or None when the
+    extension is unrecognized.
+    """
+    from pathlib import Path as _Path
+
+    ext = _Path(str(path)).suffix[1:].lower()
+    raster_drivers = {
+        "tif": "GTiff", "tiff": "GTiff", "jpg": "JPEG", "jpeg": "JPEG",
+        "png": "PNG", "bmp": "BMP", "gif": "GIF",
+    }
+    vector_drivers = {"svg": "SVG", "json": "GeoJSON", "geojson": "GeoJSON"}
+    if raster and ext in raster_drivers:
+        return raster_drivers[ext]
+    if vector and ext in vector_drivers:
+        return vector_drivers[ext]
+    return None
+
+
+#: Alias matching the reference name (returns a driver name string, not an
+#: osgeo.gdal.Driver — this package has no GDAL dependency).
+gdal_driver_from_path = driver_from_path
+
+
+def plot_quivers(x, dx, c=None, ax=None, **kwargs):
+    """Plot displacement quivers with map-scale defaults.
+
+    Parity: ``helpers.plot_quivers`` (reference helpers.py:1958-1993) —
+    arrows drawn in data units (scale=1), tail-pivoted, headless.
+    """
+    import matplotlib.pyplot as plt
+
+    x = np.asarray(x)
+    dx = np.asarray(dx)
+    kwargs = {
+        "width": 5,
+        "headaxislength": 0,
+        "headwidth": 1,
+        "minlength": 0,
+        "pivot": "tail",
+        "angles": "xy",
+        "scale_units": "xy",
+        "scale": 1,
+        **kwargs,
+    }
+    ax = ax or plt.gca()
+    if c is None:
+        return ax.quiver(x[:, 0], x[:, 1], dx[:, 0], dx[:, 1], **kwargs)
+    return ax.quiver(x[:, 0], x[:, 1], dx[:, 0], dx[:, 1], c, **kwargs)

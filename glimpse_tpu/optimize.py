@@ -904,6 +904,19 @@ class Cameras:
             return d
         return d * self.weights[index]
 
+    def plot_weights(self, index: Index = slice(None), **kwargs):
+        """Scatter the observed points colored and sized by their weights.
+
+        Parity: ``Cameras.plot_weights`` (reference optimize.py:1957-1971).
+        """
+        import matplotlib.pyplot as plt
+
+        weights = np.ones(self.size) if self.weights is None else self.weights
+        uv = self.observed(index=index)
+        return plt.scatter(
+            uv[:, 0], uv[:, 1], c=weights[index], s=weights[index], **kwargs
+        )
+
     def errors(self, params=None, index: Index = slice(None)) -> np.ndarray:
         """Euclidean reprojection errors (n,)."""
         return np.linalg.norm(self.residuals(params=params, index=index), axis=1)

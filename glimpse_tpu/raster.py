@@ -390,6 +390,14 @@ class Grid:
         new_ylim = self.ylim[0] + np.array([r0, r1 + 1]) * self.d[1]
         return new_xlim, new_ylim, np.array([r0, r1]), np.array([c0, c1])
 
+    def set_plot_limits(self) -> None:
+        """Set the current matplotlib axis limits to the grid limits
+        (y inverted, image convention; reference raster.py:576-579)."""
+        import matplotlib.pyplot as plt
+
+        plt.xlim(self.xlim[0], self.xlim[1])
+        plt.ylim(self.ylim[1], self.ylim[0])
+
     def tile_indices(
         self, size: Iterable[int], overlap: Iterable[int] = (0, 0)
     ) -> Tuple[Tuple[slice, slice], ...]:

@@ -287,3 +287,24 @@ def test_cameras_fit_distortion_from_points() -> None:
     )
     values = model.fit()
     np.testing.assert_allclose(values, (-0.15, 0.05), atol=1e-6)
+
+
+def test_plot_helpers_run_headless() -> None:
+    """plot_weights / plot_quivers / set_plot_limits draw without a display."""
+    import matplotlib
+
+    matplotlib.use("Agg", force=True)
+    import matplotlib.pyplot as plt
+
+    from glimpse_tpu import helpers
+    from glimpse_tpu.raster import Grid
+
+    xy = np.array([[0.0, 0.0], [5.0, 5.0], [10.0, 0.0]])
+    q = helpers.plot_quivers(xy, np.array([[1, 0], [0, 1], [1, 1.0]]))
+    assert q is not None
+    assert helpers.gdal_driver_from_path("a/b.tif") == "GTiff"
+    assert helpers.driver_from_path("x.svg", raster=False) == "SVG"
+    assert helpers.driver_from_path("x.xyz") is None
+    Grid((4, 3), x=(0, 4), y=(3, 0)).set_plot_limits()
+    assert plt.gca().get_xlim() == (0.0, 4.0)
+    plt.close("all")
