@@ -40,6 +40,7 @@ def main() -> None:
     N_PARTICLES = int(os.environ.get("BENCH_PARTICLES", 1024))
     N_STEPS = int(os.environ.get("BENCH_STEPS", 10))
     IMG = int(os.environ.get("BENCH_IMGSZ", 512))
+    N_OBSERVERS = int(os.environ.get("BENCH_OBSERVERS", 1))
 
     rng = np.random.default_rng(0)
     base = scipy.ndimage.gaussian_filter(rng.normal(size=(IMG, IMG)), 0.8) * 100
@@ -70,13 +71,13 @@ def main() -> None:
         n_particles=N_PARTICLES, template_size=(15, 15), search_size=(41, 41)
     )
     tracker = BatchTracker(
-        camera_vectors=cam.to_array()[None],
-        corrections=[None],
-        sigmas=[0.3],
+        camera_vectors=np.tile(cam.to_array()[None], (N_OBSERVERS, 1)),
+        corrections=[None] * N_OBSERVERS,
+        sigmas=[0.3] * N_OBSERVERS,
         motion=motion,
         config=cfg,
     )
-    images = jnp.asarray(frames[:, None])
+    images = jnp.asarray(np.repeat(frames[:, None], N_OBSERVERS, axis=1))
     dts = jnp.ones(N_STEPS, jnp.float32)
 
     # Compile + warm up. NOTE: on the tunneled TPU backend
