@@ -250,7 +250,9 @@ class Observer:
                 pt[j].set_ydata([puv[1]])
             ax[0].set_xlim(puv[0] - halfsize[0], puv[0] + halfsize[0])
             ax[0].set_ylim(puv[1] + halfsize[1], puv[1] - halfsize[0])
-            txt.set_text(f"{i} : {helpers.strip_path(self.images[i].path)}")
+            path = getattr(self.images[i], "path", None)
+            label = helpers.strip_path(path) if path else str(self.datetimes[i])
+            txt.set_text(f"{i} : {label}")
             return im + pt + [txt]
 
         return matplotlib.animation.FuncAnimation(
@@ -303,7 +305,9 @@ class Observer:
             track_line.set_ydata(track_uv[:, 1])
             pt[1].set_xdata([uv[0]])
             pt[1].set_ydata([uv[1]])
-            txt.set_text(f"{i} : {helpers.strip_path(self.images[i].path)}")
+            path = getattr(self.images[i], "path", None)
+            label = helpers.strip_path(path) if path else str(self.datetimes[i])
+            txt.set_text(f"{i} : {label}")
             return im + [track_line] + pt + [txt]
 
         return matplotlib.animation.FuncAnimation(

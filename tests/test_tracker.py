@@ -252,3 +252,37 @@ def test_tracker_parallel_threads_match_serial_structure() -> None:
     assert tracks.means.shape == (3, 3, 6)
     assert tracks.success.all()
     assert np.isfinite(tracks.means[:, -1, 0]).all()
+
+
+def test_animate_headless(tmp_path) -> None:
+    """Tracks.animate and Observer.animate render under the Agg backend."""
+    import datetime
+
+    import matplotlib
+
+    matplotlib.use("Agg", force=True)
+
+    from glimpse_tpu.raster import Raster
+    from glimpse_tpu.track import CartesianMotion, Observer, Tracker
+
+    rng = np.random.default_rng(0)
+    t0 = datetime.datetime(2020, 1, 1)
+    day = datetime.timedelta(days=1)
+    frames = rng.random((4, 64, 64)).astype(np.float32)
+    rasters = [
+        Raster(f, x=(0, 64), y=(64, 0), datetime=t0 + i * day)
+        for i, f in enumerate(frames)
+    ]
+    obs = Observer(rasters, sigma=0.3)
+    motion = CartesianMotion(
+        xy=(32.0, 32.0), time_unit=day, dem=0.0, dem_sigma=None, n=50,
+        xy_sigma=(1, 1), vxyz_sigma=(1, 1, 0), seed=0,
+    )
+    tracker = Tracker([obs], seed=0)
+    tracks = tracker.track([motion], tile_size=(9, 9), return_particles=True)
+    anim = tracks.animate(track=0, images=False)
+    anim.save(tmp_path / "track.gif", writer="pillow", fps=2)
+    assert (tmp_path / "track.gif").stat().st_size > 0
+    anim2 = obs.animate(uv=(32, 32), size=(21, 21))
+    anim2.save(tmp_path / "tiles.gif", writer="pillow", fps=2)
+    assert (tmp_path / "tiles.gif").stat().st_size > 0
