@@ -460,3 +460,38 @@ def test_batch_config_rejects_invalid_modes() -> None:
         BatchConfig(resample_method="multinomial-ish")
     with _pytest.raises(ValueError, match="interpolation_order"):
         BatchConfig(interpolation_order=2)
+
+
+def test_batch_tracker_with_elevation_correction() -> None:
+    """A (radius, refraction) correction tuple flows through the jitted step
+    and matches the host Camera's corrected projection."""
+    from glimpse_tpu import Camera
+    from glimpse_tpu.ops import projection
+
+    cam = Camera(imgsz=256, f=300, xyz=(0, 0, 100), viewdir=(0, -5, 0),
+                 correction=True)
+    xyz = np.array([[2000.0, 3000.0, 50.0], [500.0, 1500.0, 80.0]])
+    host_uv = cam.xyz_to_uv(xyz)
+    dev_uv = np.asarray(
+        jax.jit(
+            lambda v, x: projection.project(
+                v, x, correction=cam._correction_tuple, xp=jnp
+            )
+        )(jnp.asarray(cam.to_array(), jnp.float32), jnp.asarray(xyz, jnp.float32))
+    )
+    np.testing.assert_allclose(dev_uv, host_uv, atol=1e-2)
+
+    # And end-to-end: a tracker built with the tuple runs and stays finite.
+    rng = np.random.default_rng(5)
+    frames = np.stack([rng.random((2, 256, 256)).astype(np.float32)] * 3)
+    motion = make_motion(np.array([[80.0, 120.0], [150.0, 90.0]]), v_sigma=1.0)
+    cfg = BatchConfig(n_particles=64, template_size=(9, 9), search_size=(19, 19))
+    tracker = BatchTracker(
+        camera_vectors=np.stack([cam.to_array()] * 2),
+        corrections=[cam._correction_tuple, None],
+        sigmas=[0.3, 0.3],
+        motion=motion,
+        config=cfg,
+    )
+    _, out = tracker.track(jax.random.PRNGKey(0), frames, np.ones(2, np.float32))
+    assert np.isfinite(np.asarray(out["mean"])).all()
