@@ -231,6 +231,10 @@ class BatchConfig:
     # 'gather' uses vmapped dynamic slices.
     extract_mode: str = "matmul"
     resample_method: str = "systematic"
+    # Median high-pass implementation: 'auto' resolves to the fused Pallas
+    # kernel on a single TPU chip and to the XLA sort-median under a device
+    # mesh (Pallas custom calls do not partition) or on CPU.
+    highpass_mode: str = "auto"  # 'auto' | 'xla' | 'pallas'
     # Whether step outputs include full 6x6 weighted covariances.
     return_covariances: bool = False
     dtype: Any = jnp.float32 if jnp is not None else None
@@ -256,6 +260,11 @@ class BatchConfig:
             raise ValueError(
                 f"interpolation_order must be 1 or 3,"
                 f" got {self.interpolation_order!r}"
+            )
+        if self.highpass_mode not in ("auto", "xla", "pallas"):
+            raise ValueError(
+                f"highpass_mode must be 'auto', 'xla', or 'pallas',"
+                f" got {self.highpass_mode!r}"
             )
 
 
@@ -340,7 +349,30 @@ def _quantile_interp_matrix(n: int, K: int):
     return S
 
 
-def _prepare_search_tiles(tiles, table, highpass_size):
+def _device_highpass(t, size, mode: str = "auto"):
+    """Median high-pass on the device path.
+
+    ``mode='pallas'`` uses the fused min/max-network kernel (bit-exact,
+    ~10x faster than the sort-based ``jnp.median`` on TPU); ``'xla'`` the
+    portable path. ``'auto'`` picks Pallas on a single TPU chip (odd tap
+    counts up to 7x7 only). BatchTracker resolves 'auto' once at
+    construction (Pallas custom calls do not partition over a mesh).
+    """
+    kh, kw = size
+    pallas_ok = kh % 2 == 1 and kw % 2 == 1 and kh * kw <= 49
+    use_pallas = mode == "pallas" or (
+        mode == "auto"
+        and pallas_ok
+        and jax.default_backend() in ("tpu", "axon")
+    )
+    if use_pallas:
+        from ..kernels.highpass_pallas import median_highpass
+
+        return median_highpass(t, size=(kh, kw))
+    return imageproc.highpass(t, size=size, xp=jnp)
+
+
+def _prepare_search_tiles(tiles, table, highpass_size, mode: str = "auto"):
     """Normalize + histogram-match + median-highpass a stack of tiles (N, h, w).
 
     Histogram matching via rank statistics, sort-only (no per-element binary
@@ -370,10 +402,10 @@ def _prepare_search_tiles(tiles, table, highpass_size):
     )  # (N, n): matched values in sorted order
     _, matched = jax.lax.sort((order, m), dimension=-1, num_keys=1)
     t = matched.reshape(N, h, w)
-    return imageproc.highpass(t, size=highpass_size, xp=jnp)
+    return _device_highpass(t, highpass_size, mode)
 
 
-def _prepare_template_tiles(tiles, highpass_size, n_quantiles: int):
+def _prepare_template_tiles(tiles, highpass_size, n_quantiles: int, mode: str = "auto"):
     """Template pipeline: normalize -> record quantile table -> highpass.
 
     Returns (highpassed tiles, quantile table (N, K)) where table[k] is the
@@ -389,7 +421,7 @@ def _prepare_template_tiles(tiles, highpass_size, n_quantiles: int):
         jnp.floor((jnp.arange(K) + 0.5) * n / K).astype(jnp.int32), 0, n - 1
     )
     table = values[:, idx]
-    hp = imageproc.highpass(t, size=highpass_size, xp=jnp)
+    hp = _device_highpass(t, highpass_size, mode)
     return hp, table
 
 
@@ -430,7 +462,9 @@ def observer_log_likelihoods(
         search = _extract_tiles_matmul(image, corners, (sh, sw), dtype=cfg.dtype)
     else:
         search = _extract_tiles(image, corners, (sh, sw))  # (N, sh, sw)
-    search = _prepare_search_tiles(search, template_table, cfg.highpass_size)
+    search = _prepare_search_tiles(
+        search, template_table, cfg.highpass_size, cfg.highpass_mode
+    )
     sse = ncc.sse_map_batched(search, templates, xp=jnp)  # (N, oh, ow)
     sse = sse * (1.0 / (th * tw))
     oh, ow = sh - th + 1, sw - tw + 1
@@ -525,6 +559,17 @@ class BatchTracker:
         self.motion = motion
         self.config = config or BatchConfig()
         self.mesh = mesh
+        if self.config.highpass_mode == "auto":
+            # Resolve once: Pallas on a single TPU chip; XLA under a mesh
+            # (custom calls do not partition) and on CPU.
+            resolved = (
+                "pallas"
+                if mesh is None and jax.default_backend() in ("tpu", "axon")
+                else "xla"
+            )
+            self.config = dataclasses.replace(
+                self.config, highpass_mode=resolved
+            )
         self.n_observers = self.camera_vectors.shape[0]
 
     @classmethod
@@ -604,7 +649,7 @@ class BatchTracker:
             corners = jnp.stack([corner_row, corner_col], axis=-1)
             tiles = _extract_tiles(images0[o], corners, (th, tw))
             hp, table = _prepare_template_tiles(
-                tiles, cfg.highpass_size, cfg.n_quantiles
+                tiles, cfg.highpass_size, cfg.n_quantiles, cfg.highpass_mode
             )
             duv = uv - (
                 corners[:, ::-1].astype(cfg.dtype)
