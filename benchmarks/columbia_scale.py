@@ -1,0 +1,115 @@
+"""BASELINE ladder config (5): Columbia-Glacier scale on one chip.
+
+10,240 points x 512 particles tracked through 1,000 streamed frames —
+sequence length far beyond device memory, fed frame-by-frame from the host
+(``BatchTracker.track_stream``) while the jitted step runs, the same shape
+as a multi-year time-lapse campaign. Frames are procedurally generated
+(a rigidly translating crop of one large texture), so the run also has
+ground truth: the script reports throughput AND the final px-RMSE.
+
+The reference's scale statement for this workload is "13 years of
+multi-camera Columbia Glacier imagery" processed on a workstation
+(README.md:30-32); stabilization for real imagery is demonstrated
+separately in examples/stabilize_sequence.py.
+
+Run: python benchmarks/columbia_scale.py   (real TPU, ~5-10 min)
+Env: COLUMBIA_POINTS (10240), COLUMBIA_PARTICLES (512), COLUMBIA_FRAMES (1000)
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main() -> None:
+    import scipy.ndimage
+
+    import jax
+    import jax.numpy as jnp
+
+    from glimpse_tpu import Camera
+    from glimpse_tpu.track.batch import (
+        BatchConfig,
+        BatchMotion,
+        BatchTracker,
+        DeviceRaster,
+    )
+
+    N = int(os.environ.get("COLUMBIA_POINTS", 10240))
+    P = int(os.environ.get("COLUMBIA_PARTICLES", 512))
+    T = int(os.environ.get("COLUMBIA_FRAMES", 1000))
+    IMG = 512
+    velocity = (0.3, 0.2)  # px/frame; ~1000-frame drift stays in the canvas
+
+    rng = np.random.default_rng(0)
+    pad = int(np.ceil(max(abs(velocity[0]), abs(velocity[1])) * T)) + 8
+    canvas = scipy.ndimage.gaussian_filter(
+        rng.normal(size=(IMG + pad, IMG + pad)), 0.8
+    ).astype(np.float32) * 100
+
+    def frame(i: int) -> np.ndarray:
+        # Rigid translation by bilinear crop of the big canvas.
+        r0 = velocity[1] * i
+        c0 = velocity[0] * i
+        ri, ci = int(np.floor(r0)), int(np.floor(c0))
+        fr, fc = r0 - ri, c0 - ci
+        win = canvas[ri : ri + IMG + 1, ci : ci + IMG + 1]
+        top = win[:-1, :-1] * (1 - fc) + win[:-1, 1:] * fc
+        bot = win[1:, :-1] * (1 - fc) + win[1:, 1:] * fc
+        return (top * (1 - fr) + bot * fr)[None]  # (O=1, H, W)
+
+    cam = Camera(imgsz=IMG, f=IMG, xyz=(IMG / 2, IMG / 2, IMG), viewdir=(0, -90, 0))
+    margin = IMG // 4
+    starts = rng.uniform(margin, IMG - margin, size=(N, 2))
+    motion = BatchMotion(
+        kind="cartesian",
+        xy=jnp.asarray(starts, jnp.float32),
+        xy_sigma=jnp.full((N, 2), 1.0, jnp.float32),
+        v_mean=jnp.zeros((N, 3), jnp.float32),
+        v_sigma=jnp.full((N, 3), 0.5, jnp.float32).at[:, 2].set(0.0),
+        a_mean=jnp.zeros((N, 3), jnp.float32),
+        a_sigma=jnp.full((N, 3), 0.05, jnp.float32).at[:, 2].set(0.0),
+        slope_sigma=jnp.zeros((N,), jnp.float32),
+        dem=DeviceRaster.constant(0.0),
+        dem_sigma=DeviceRaster.constant(0.0),
+        use_dem_sigma=False,
+    )
+    cfg = BatchConfig(n_particles=P, template_size=(15, 15), search_size=(31, 31))
+    tracker = BatchTracker(
+        camera_vectors=cam.to_array()[None], corrections=[None], sigmas=[0.3],
+        motion=motion, config=cfg,
+    )
+
+    start = time.perf_counter()
+    state, outputs = tracker.track_stream(
+        jax.random.PRNGKey(0),
+        frame(0),
+        (frame(i) for i in range(1, T)),
+        np.ones(T - 1, np.float32),
+    )
+    final_mean = np.asarray(outputs[-1]["mean"])  # force completion
+    elapsed = time.perf_counter() - start
+
+    # Frames translate by +velocity; world x tracks +vx, world y = -image row.
+    truth = starts + np.asarray([-velocity[0], velocity[1]]) * (T - 1)
+    rmse = float(
+        np.sqrt(np.mean(np.sum((final_mean[:, 0:2] - truth) ** 2, axis=-1)))
+    )
+    print(
+        json.dumps(
+            {
+                "config": f"{N} points x {P} particles x {T} frames (streamed)",
+                "wall_s": round(elapsed, 1),
+                "point_steps_per_s": round(N * (T - 1) / elapsed, 1),
+                "rmse_vs_truth_px": round(rmse, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

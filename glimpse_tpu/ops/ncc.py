@@ -72,7 +72,24 @@ def sse_map_batched(search, templates, xp=None):
 
 
 def sse_map(search, template, xp=np):
-    """Single-pair SSE map on either backend."""
+    """Single-pair SSE map on either backend.
+
+    On the host path this uses OpenCV's ``matchTemplate(TM_SQDIFF)`` when
+    available (the reference's kernel, tracker.py:609-614, ~10x faster than
+    the sliding-window fallback), with :func:`sse_map_numpy` as the exact
+    pure-NumPy fallback and golden reference.
+    """
     if xp is np:
-        return sse_map_numpy(np.asarray(search), np.asarray(template))
+        search = np.asarray(search)
+        template = np.asarray(template)
+        try:
+            import cv2
+
+            return cv2.matchTemplate(
+                search.astype(np.float32),
+                template.astype(np.float32),
+                cv2.TM_SQDIFF,
+            ).astype(float)
+        except ImportError:  # pragma: no cover
+            return sse_map_numpy(search, template)
     return sse_map_batched(search[None], template[None], xp=xp)[0]

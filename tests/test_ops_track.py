@@ -131,3 +131,13 @@ def test_profiling_timer() -> None:
     assert "phase_a" in timer.report()
     d = timer.as_dict()
     assert d["phase_b"]["calls"] == 1
+
+
+def test_sse_map_host_matches_numpy_golden() -> None:
+    """The cv2-accelerated host sse_map equals the pure-NumPy golden."""
+    rng = np.random.default_rng(9)
+    search = rng.random((41, 41))
+    template = rng.random((15, 15))
+    fast = ncc.sse_map(search, template, xp=np)
+    gold = ncc.sse_map_numpy(search, template)
+    np.testing.assert_allclose(fast, gold, rtol=1e-4, atol=1e-4)
