@@ -43,7 +43,9 @@ def main() -> None:
     P = int(os.environ.get("COLUMBIA_PARTICLES", 512))
     T = int(os.environ.get("COLUMBIA_FRAMES", 1000))
     IMG = 512
-    velocity = (0.3, 0.2)  # px/frame; ~1000-frame drift stays in the canvas
+    # px/frame: total drift over T frames must stay inside the start margin
+    # (IMG/4) or tracked features exit the camera frame.
+    velocity = (0.06, 0.04)
 
     rng = np.random.default_rng(0)
     pad = int(np.ceil(max(abs(velocity[0]), abs(velocity[1])) * T)) + 8

@@ -552,7 +552,20 @@ class BatchTracker:
         motion: BatchMotion,
         config: BatchConfig = None,
         mesh=None,
+        viewshed=None,
     ) -> None:
+        if viewshed is not None:
+            # Reference semantics (tracker.py:91-95): fail early if any
+            # tracked point starts on a non-visible viewshed cell. Checked
+            # host-side (static shapes preclude raising inside jit).
+            visible = np.asarray(
+                viewshed.sample(np.asarray(motion.xy), order=0)
+            )
+            if not np.all(visible > 0):
+                bad = np.flatnonzero(~(visible > 0))
+                raise ValueError(
+                    f"Points on non-visible viewshed cells: {bad.tolist()}"
+                )
         self.camera_vectors = jnp.asarray(camera_vectors, dtype=jnp.float32)
         self.corrections = list(corrections)
         self.sigmas = tuple(float(s) for s in sigmas)

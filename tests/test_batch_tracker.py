@@ -495,3 +495,20 @@ def test_batch_tracker_with_elevation_correction() -> None:
     )
     _, out = tracker.track(jax.random.PRNGKey(0), frames, np.ones(2, np.float32))
     assert np.isfinite(np.asarray(out["mean"])).all()
+
+
+def test_batch_tracker_viewshed_validity() -> None:
+    """Reference parity (tracker.py:91-95): points on non-visible viewshed
+    cells are rejected at construction."""
+    import pytest as _pytest
+
+    from glimpse_tpu.raster import Raster
+
+    vs = Raster(np.array([[1.0, 0.0], [1.0, 1.0]]), x=(0, 64), y=(64, 0))
+    motion = make_motion(np.array([[16.0, 48.0], [48.0, 48.0]]))  # 2nd not visible
+    cam = np.zeros(20, np.float32)
+    with _pytest.raises(ValueError, match="non-visible"):
+        BatchTracker([cam], [None], [0.3], motion, viewshed=vs)
+    # All-visible points construct fine.
+    motion_ok = make_motion(np.array([[16.0, 48.0], [16.0, 16.0]]))
+    BatchTracker([cam], [None], [0.3], motion_ok, viewshed=vs)
