@@ -271,3 +271,39 @@ def test_undistort_lookup_matches_iterative() -> None:
     finite = np.isfinite(lookup).all(axis=1)
     assert finite.mean() > 0.8
     np.testing.assert_allclose(lookup[finite], iterative[finite], atol=5e-3)
+
+
+def test_device_roundtrip_fuzz_random_cameras() -> None:
+    """Fuzz: random reversible cameras round-trip uv -> xyz -> uv under jit.
+
+    The float32 device path stays within 0.01 px across random distortion
+    (the float64 host contract of < 1e-12 px is covered above).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from glimpse_tpu.ops import projection
+
+    rng = np.random.default_rng(12)
+    for trial in range(8):
+        cam = Camera(
+            imgsz=(200, 150),
+            f=float(rng.uniform(150, 400)),
+            c=tuple(rng.uniform(-5, 5, 2)),
+            viewdir=tuple(rng.uniform(-30, 30, 3)),
+            k=(float(rng.uniform(-0.2, 0.2)), float(rng.uniform(-0.05, 0.05)),
+               0, 0, 0, 0),
+            p=tuple(rng.uniform(-0.01, 0.01, 2)),
+        )
+        if not cam.reversible():
+            continue
+        uv = rng.uniform([5, 5], [195, 145], size=(200, 2))
+        vec = jnp.asarray(cam.to_array(), jnp.float32)
+        xyz = jax.jit(
+            lambda v, q: projection.unproject(v, q, directions=True, xp=jnp)
+        )(vec, jnp.asarray(uv, jnp.float32))
+        uv2 = jax.jit(
+            lambda v, x: projection.project(v, x, directions=True, xp=jnp)
+        )(vec, xyz)
+        err = float(jnp.max(jnp.abs(uv2 - jnp.asarray(uv, jnp.float32))))
+        assert err < 1e-2, f"trial {trial}: round-trip error {err}"
