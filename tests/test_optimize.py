@@ -308,3 +308,33 @@ def test_plot_helpers_run_headless() -> None:
     Grid((4, 3), x=(0, 4), y=(3, 0)).set_plot_limits()
     assert plt.gca().get_xlim() == (0.0, 4.0)
     plt.close("all")
+
+
+def test_calibrate_viewdir_from_svg_horizon() -> None:
+    """Reference workflow: manual SVG horizon traces -> Lines control ->
+    viewdir calibration (svg.py + optimize.py integration on the bundled
+    annotation file)."""
+    from glimpse_tpu import svg
+
+    d = svg.read(
+        str(PATH.parent / "AK10b_20141013_020336.svg"),
+        key="id", imgsz=(800, 536),
+    )
+    uvs = [np.asarray(line, float) for line in d["horizon"]["polyline"]]
+    true_cam = Camera(
+        imgsz=(800, 536), fmm=20, sensorsz=(23.6, 15.8),
+        xyz=(0, 0, 100), viewdir=(25.8, -6.2, 1.1),
+    )
+    # World horizon polylines consistent with the true camera (far ring).
+    xyzs = [
+        true_cam.xyz + true_cam.uv_to_xyz(uv, directions=True) * 5000.0
+        for uv in uvs
+    ]
+    cam = true_cam.copy()
+    cam.viewdir = (24.5, -5.5, 0.0)  # degraded initial orientation
+    lines = optimize.Lines(cam=cam, uvs=uvs, xyzs=xyzs, density=2)
+    model = optimize.Cameras(
+        cams=[cam], controls=[lines], cam_params=[{"viewdir": True}]
+    )
+    fit = model.fit()
+    np.testing.assert_allclose(fit, (25.8, -6.2, 1.1), atol=2e-2)
