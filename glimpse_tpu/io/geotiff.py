@@ -79,6 +79,9 @@ def read_info(path: Union[str, Path]) -> GeoTiffInfo:
             crs = str(tags[GEO_ASCII_PARAMS]).strip("\x00").strip("|") or None
         transform = _transform_from_tags(tags, size)
         n_bands = len(im.getbands())
+        n_frames = getattr(im, "n_frames", 1)
+        if n_frames > 1 and n_bands == 1:
+            n_bands = n_frames  # one band per page (see read/write)
         a = np.asarray(im.crop((0, 0, 1, 1)))
         return GeoTiffInfo(
             size=size,
@@ -104,13 +107,29 @@ def read(
         out_size: Resample decoded region to (nx, ny) (nearest for masks,
             bilinear otherwise), mirroring GDAL's buf_xsize/buf_ysize reads.
     """
-    with PILImage.open(str(path)) as im:
+    def _decode(im):
         if window is not None:
             im = im.crop(tuple(int(v) for v in window))
         if out_size is not None and tuple(out_size) != im.size:
-            resample = PILImage.BILINEAR
-            im = im.resize((int(out_size[0]), int(out_size[1])), resample)
-        a = np.asarray(im)
+            im = im.resize(
+                (int(out_size[0]), int(out_size[1])), PILImage.BILINEAR
+            )
+        return np.asarray(im)
+
+    with PILImage.open(str(path)) as im:
+        n_frames = getattr(im, "n_frames", 1)
+        if n_frames > 1:
+            # Multi-page TIFF: pages are bands (the writer below emits one
+            # float band per page).
+            if band is not None:
+                im.seek(band - 1)
+                return _decode(im)
+            pages = []
+            for i in range(n_frames):
+                im.seek(i)
+                pages.append(_decode(im))
+            return np.stack(pages, axis=2)
+        a = _decode(im)
     if a.ndim == 3 and band is not None:
         a = a[:, :, band - 1]
     return a

@@ -377,3 +377,20 @@ def test_horizon_angles_jax_matches_numpy() -> None:
         np.asarray(out_jax[0]), out_np[0], rtol=1e-4, atol=1e-4
     )
     np.testing.assert_array_equal(np.asarray(out_jax[3]), out_np[3])
+
+
+def test_geotiff_multiband_roundtrip(tmp_path) -> None:
+    """Multi-band float GeoTIFFs round-trip (one band per TIFF page)."""
+    from glimpse_tpu.io import geotiff
+
+    a = np.random.default_rng(0).random((5, 7, 3)).astype(np.float32)
+    path = tmp_path / "mb.tif"
+    geotiff.write(path, a, transform=(10.0, 2.0, 0, 20.0, 0, -2.0))
+    np.testing.assert_allclose(geotiff.read(path), a)
+    np.testing.assert_allclose(geotiff.read(path, band=2), a[:, :, 1])
+    np.testing.assert_allclose(
+        geotiff.read(path, window=(1, 1, 4, 3)), a[1:3, 1:4]
+    )
+    info = geotiff.read_info(path)
+    assert info.n_bands == 3
+    assert info.transform == (10.0, 2.0, 0.0, 20.0, 0.0, -2.0)
