@@ -38,7 +38,7 @@ def main() -> None:
     # ---- Workload (BASELINE.json config 4 scale, trimmed for bench time) --
     N_POINTS = int(os.environ.get("BENCH_POINTS", 1024))
     N_PARTICLES = int(os.environ.get("BENCH_PARTICLES", 1024))
-    N_STEPS = int(os.environ.get("BENCH_STEPS", 10))
+    N_STEPS = int(os.environ.get("BENCH_STEPS", 50))
     IMG = int(os.environ.get("BENCH_IMGSZ", 512))
     N_OBSERVERS = int(os.environ.get("BENCH_OBSERVERS", 1))
 
