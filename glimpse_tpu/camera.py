@@ -9,7 +9,6 @@ calibration residuals, DEM rendering) call the same functions with
 ``jax.numpy`` under jit/vmap.
 """
 import copy
-import datetime  # noqa: F401  (kept for parity of signatures)
 from pathlib import Path
 from typing import Any, Dict, Iterable, Optional, Tuple, Union
 

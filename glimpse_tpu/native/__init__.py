@@ -6,7 +6,6 @@ The library builds on first use (``make`` in this directory); every entry
 point has a NumPy fallback, so the package works without a compiler.
 """
 import ctypes
-import os
 import subprocess
 import warnings
 from pathlib import Path

@@ -11,8 +11,6 @@ depthwise (grouped) convolution with one template filter per batch element,
 which XLA lowers onto the TPU convolution units. A Pallas fused variant
 lives in :mod:`glimpse_tpu.kernels`.
 """
-from typing import Tuple
-
 import numpy as np
 
 

@@ -32,7 +32,7 @@ Behavior parity notes (reference ``camera.py``):
   nonzero, else iterative Oulu or vectorized regula falsi.
 """
 import math
-from typing import Optional, Tuple, Union
+from typing import Optional, Tuple
 
 import numpy as np
 

@@ -16,7 +16,6 @@ API parity with the reference optimize module
 import copyreg
 import datetime
 import math
-import sys
 from pathlib import Path
 from typing import Any, Dict, Generator, Iterable, List, Optional, Tuple, Type, Union
 

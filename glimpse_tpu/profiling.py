@@ -6,7 +6,6 @@ iteration prints (SURVEY.md section 5). This module adds structured timers
 capture, and a minimal progress reporter used by long-running host loops.
 """
 import contextlib
-import json
 import sys
 import time
 from pathlib import Path

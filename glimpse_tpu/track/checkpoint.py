@@ -7,7 +7,6 @@ counter) is an explicit pytree (:class:`glimpse_tpu.track.batch.BatchState`),
 so a run can be checkpointed at any step and resumed bit-exactly — the basis
 for elastic recovery on long sequences.
 """
-import json
 from pathlib import Path
 from typing import Union
 
