@@ -80,7 +80,10 @@ class Tracks:
         if self.sigmas is not None:
             return self.sigmas[:, :, 0:3]
         if self.covariances is not None:
-            return np.sqrt(self.covariances[:, :, (0, 1, 2), (0, 1, 2)])
+            variances = np.diagonal(
+                self.covariances[:, :, :3, :3], axis1=-2, axis2=-1
+            )
+            return np.sqrt(variances)
         return None
 
     @property
@@ -89,17 +92,22 @@ class Tracks:
         if self.sigmas is not None:
             return self.sigmas[:, :, 3:6]
         if self.covariances is not None:
-            return np.sqrt(self.covariances[:, :, (3, 4, 5), (3, 4, 5)])
+            variances = np.diagonal(
+                self.covariances[:, :, 3:, 3:], axis1=-2, axis2=-1
+            )
+            return np.sqrt(variances)
         return None
 
     @property
     def endpoints(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """(valid-track mask, first valid index, last valid index)."""
-        valid = ~np.isnan(self.means[:, :, 0])
-        first = np.argmax(valid, axis=1)
-        last = valid.shape[1] - 1 - np.argmax(valid[:, ::-1], axis=1)
-        first_valid = valid[np.arange(len(first)), first]
-        return first_valid, first[first_valid], last[first_valid]
+        valid = np.isfinite(self.means[:, :, 0])
+        m = valid.shape[1]
+        steps = np.arange(m)
+        has_any = valid.any(axis=1)
+        first = np.min(np.where(valid, steps, m), axis=1)
+        last = np.max(np.where(valid, steps, -1), axis=1)
+        return has_any, first[has_any], last[has_any]
 
     @property
     def success(self) -> Optional[np.ndarray]:
@@ -112,17 +120,17 @@ class Tracks:
 
     def reverse(self) -> None:
         """Reverse the temporal order (for backward tracking)."""
+        def flip_time(value: Optional[np.ndarray]) -> Optional[np.ndarray]:
+            if value is None:
+                return None
+            # Time is axis 0 for per-sequence arrays, axis 1 per track.
+            return value[::-1] if value.ndim == 1 else value[:, ::-1, ...]
+
         for key in (
             "datetimes", "means", "sigmas", "covariances", "particles",
             "weights", "images",
         ):
-            value = getattr(self, key)
-            if value is not None:
-                if value.ndim == 1:
-                    value = value[::-1]
-                else:
-                    value = value[:, ::-1, ...]
-                setattr(self, key, value)
+            setattr(self, key, flip_time(getattr(self, key)))
 
     @classmethod
     def from_multiple(cls, runs: Iterable["Tracks"], ignore_nan: bool = False) -> "Tracks":
