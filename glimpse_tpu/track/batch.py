@@ -131,6 +131,73 @@ class BatchMotion:
     def n_points(self) -> int:
         return self.xy.shape[0]
 
+    @classmethod
+    def from_motions(cls, motions: Sequence) -> "BatchMotion":
+        """Stack host per-point motion models into one batched model.
+
+        Accepts a sequence of host :class:`~glimpse_tpu.track.motion`
+        models (the reference's one-model-per-point pattern), all of the
+        same class and sharing DEM rasters. The migration bridge from
+        ``Tracker.track([motions...])`` to the device tracker.
+        """
+        from . import motion as host_motion
+
+        first = motions[0]
+        kinds = {
+            host_motion.CartesianMotion: "cartesian",
+            host_motion.CylindricalMotion: "cylindrical",
+            host_motion.TangentCartesianMotion: "tangent",
+            host_motion.TangentCylindricalMotion: "tangent_cylindrical",
+        }
+        kind = kinds.get(type(first))
+        if kind is None:
+            raise TypeError(f"Unsupported motion model {type(first).__name__}")
+        if any(type(m) is not type(first) for m in motions):
+            raise ValueError("All motion models must be of the same class")
+        if any(m.dem is not first.dem for m in motions):
+            raise ValueError("All motion models must share the same dem")
+
+        def stack(attr, width, pad_zero: bool = True):
+            rows = []
+            for m in motions:
+                v = np.atleast_1d(np.asarray(getattr(m, attr), dtype=np.float32))
+                if v.size < width:
+                    v = np.concatenate([v, np.zeros(width - v.size, np.float32)])
+                rows.append(v[:width])
+            return jnp.asarray(np.stack(rows))
+
+        if kind == "cartesian":
+            v, vs, a, as_ = "vxyz", "vxyz_sigma", "axyz", "axyz_sigma"
+        elif kind == "cylindrical":
+            v, vs, a, as_ = "vrthz", "vrthz_sigma", "arthz", "arthz_sigma"
+        elif kind == "tangent":
+            v, vs, a, as_ = "vxy", "vxy_sigma", "axy", "axy_sigma"
+        else:
+            v, vs, a, as_ = "vrth", "vrth_sigma", "arth", "arth_sigma"
+        slope = (
+            stack("slope_sigma", 1)[:, 0]
+            if hasattr(first, "slope_sigma")
+            else jnp.zeros(len(motions), jnp.float32)
+        )
+        dem_sigma = getattr(first, "dem_sigma", None)
+        return cls(
+            kind=kind,
+            xy=stack("xy", 2),
+            xy_sigma=stack("xy_sigma", 2),
+            v_mean=stack(v, 3),
+            v_sigma=stack(vs, 3),
+            a_mean=stack(a, 3),
+            a_sigma=stack(as_, 3),
+            slope_sigma=slope,
+            dem=DeviceRaster.from_raster(first.dem),
+            dem_sigma=(
+                DeviceRaster.constant(0.0)
+                if dem_sigma is None
+                else DeviceRaster.from_raster(dem_sigma)
+            ),
+            use_dem_sigma=dem_sigma is not None,
+        )
+
     def initialize(self, key, n_particles: int):
         """Initial particles (N, P, 6)."""
         N, P = self.n_points, n_particles

@@ -512,3 +512,47 @@ def test_batch_tracker_viewshed_validity() -> None:
     # All-visible points construct fine.
     motion_ok = make_motion(np.array([[16.0, 48.0], [16.0, 16.0]]))
     BatchTracker([cam], [None], [0.3], motion_ok, viewshed=vs)
+
+
+def test_batch_motion_from_host_motions() -> None:
+    """Migration bridge: stack host per-point motion models into BatchMotion
+    and track (host pattern: Tracker.track([motion, motion, ...]))."""
+    import datetime
+
+    from glimpse_tpu.raster import Raster
+    from glimpse_tpu.track import CartesianMotion
+
+    day = datetime.timedelta(days=1)
+    dem = Raster(np.zeros((8, 8)), x=(0, 128), y=(128, 0))
+    sig = Raster(np.full((8, 8), 0.2), x=(0, 128), y=(128, 0))
+    motions = [
+        CartesianMotion(
+            xy=(40.0 + 10 * i, 60.0), time_unit=day, dem=dem, dem_sigma=sig,
+            xy_sigma=(1, 1), vxyz=(0.5, 0, 0), vxyz_sigma=(1, 1, 0.1),
+            axyz_sigma=(0.1, 0.1, 0),
+        )
+        for i in range(3)
+    ]
+    batch = BatchMotion.from_motions(motions)
+    assert batch.kind == "cartesian"
+    assert batch.n_points == 3
+    assert batch.use_dem_sigma
+    np.testing.assert_allclose(np.asarray(batch.xy)[:, 0], [40, 50, 60])
+    np.testing.assert_allclose(np.asarray(batch.v_mean)[0], [0.5, 0, 0])
+    # It tracks end-to-end.
+    cam = np.array([64, 64, 200, 0, -90, 0, 128, 128, 100, 100, 64, 64,
+                    0, 0, 0, 0, 0, 0, 0, 0], np.float32)
+    frames = np.random.default_rng(0).random((3, 1, 128, 128)).astype(np.float32)
+    cfg = BatchConfig(n_particles=32, template_size=(9, 9), search_size=(19, 19))
+    tracker = BatchTracker([cam], [None], [0.3], batch, config=cfg)
+    _, out = tracker.track(jax.random.PRNGKey(0), frames, np.ones(2, np.float32))
+    assert np.isfinite(np.asarray(out["mean"])).all()
+
+    # Mixed classes are rejected.
+    from glimpse_tpu.track import CylindricalMotion
+
+    other = CylindricalMotion(xy=(40, 60), time_unit=day, dem=dem)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="same class"):
+        BatchMotion.from_motions([motions[0], other])
