@@ -338,3 +338,20 @@ def test_calibrate_viewdir_from_svg_horizon() -> None:
     )
     fit = model.fit()
     np.testing.assert_allclose(fit, (25.8, -6.2, 1.1), atol=2e-2)
+
+
+def test_plots_residuals_as_quivers() -> None:
+    """Control .plot draws observed->predicted quivers (reference
+    test_optimize.py counterpart), headless."""
+    import matplotlib
+
+    matplotlib.use("Agg", force=True)
+    import matplotlib.pyplot as plt
+
+    cam = Camera(imgsz=10, f=5, xyz=(0, 0, 1), viewdir=(0, -90, 0))
+    xyz = [(-1, 0, 0), (0, 0, 0), (1, 0, 0)]
+    uv = [(3.2, 5), (5, 5.1), (6.8, 5)]
+    points = optimize.Points(cam=cam, uv=uv, xyz=xyz)
+    result = points.plot()
+    assert result
+    plt.close("all")
