@@ -556,3 +556,46 @@ def test_batch_motion_from_host_motions() -> None:
 
     with _pytest.raises(ValueError, match="same class"):
         BatchMotion.from_motions([motions[0], other])
+
+
+def test_polar_motion_distributions_match_host() -> None:
+    """Batch cylindrical initialize/evolve reproduce the host model's
+    particle distributions (moments over many particles)."""
+    import datetime
+
+    from glimpse_tpu.raster import Raster
+    from glimpse_tpu.track import CylindricalMotion
+
+    day = datetime.timedelta(days=1)
+    dem = Raster(np.zeros((8, 8)), x=(0, 256), y=(256, 0))
+    host = CylindricalMotion(
+        xy=(128.0, 128.0), time_unit=day, dem=dem, dem_sigma=None, n=40000,
+        xy_sigma=(2, 2), vrthz=(3.0, np.pi / 4, 0.0),
+        vrthz_sigma=(0.5, 0.1, 0.0), arthz=(0.2, 0.0, 0.0),
+        arthz_sigma=(0.05, 0.02, 0.0), seed=1,
+    )
+    hp = host.initialize_particles()
+    batch = BatchMotion.from_motions([host])
+    bp = np.asarray(batch.initialize(jax.random.PRNGKey(1), 40000))[0]
+    # Initial velocity distribution: mean and covariance agree.
+    np.testing.assert_allclose(
+        bp[:, 3:5].mean(axis=0), hp[:, 3:5].mean(axis=0), atol=0.03
+    )
+    np.testing.assert_allclose(
+        np.cov(bp[:, 3:5].T), np.cov(hp[:, 3:5].T), atol=0.05
+    )
+    # One evolution step: radial/tangential acceleration semantics agree.
+    hp2 = hp.copy()
+    host.evolve_particles(hp2, dt=day)
+    bp2 = np.asarray(
+        batch.evolve(jax.random.PRNGKey(2), bp[None], jnp.float32(1.0))
+    )[0]
+    np.testing.assert_allclose(
+        bp2[:, 3:6].mean(axis=0), hp2[:, 3:6].mean(axis=0), atol=0.03
+    )
+    np.testing.assert_allclose(
+        bp2[:, 0:2].mean(axis=0), hp2[:, 0:2].mean(axis=0), atol=0.1
+    )
+    np.testing.assert_allclose(
+        np.cov(bp2[:, 3:5].T), np.cov(hp2[:, 3:5].T), atol=0.06
+    )
