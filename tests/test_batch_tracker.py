@@ -599,3 +599,44 @@ def test_polar_motion_distributions_match_host() -> None:
     np.testing.assert_allclose(
         np.cov(bp2[:, 3:5].T), np.cov(hp2[:, 3:5].T), atol=0.06
     )
+
+
+def test_tangent_motion_distributions_match_host() -> None:
+    """Batch tangent initialize/evolve match the host model's moments,
+    including the slope-scaled z random walk."""
+    import datetime
+
+    from glimpse_tpu.raster import Raster
+    from glimpse_tpu.track import TangentCartesianMotion
+
+    day = datetime.timedelta(days=1)
+    rng = np.random.default_rng(0)
+    dem = Raster(rng.normal(0, 1, (8, 8)), x=(0, 256), y=(256, 0))
+    sig = Raster(np.full((8, 8), 0.3), x=(0, 256), y=(256, 0))
+    host = TangentCartesianMotion(
+        xy=(128.0, 128.0), time_unit=day, dem=dem, dem_sigma=sig, n=40000,
+        xy_sigma=(2, 2), vxy=(1.0, 0.5), vxy_sigma=(0.5, 0.5),
+        axy_sigma=(0.1, 0.1), slope_sigma=0.2, seed=3,
+    )
+    hp = host.initialize_particles()
+    batch = BatchMotion.from_motions([host])
+    assert batch.kind == "tangent"
+    bp = np.asarray(batch.initialize(jax.random.PRNGKey(3), 40000))[0]
+    np.testing.assert_allclose(
+        bp[:, 0:3].mean(axis=0), hp[:, 0:3].mean(axis=0), atol=0.1
+    )
+    np.testing.assert_allclose(
+        bp[:, 3:5].mean(axis=0), hp[:, 3:5].mean(axis=0), atol=0.03
+    )
+    hp2 = hp.copy()
+    host.evolve_particles(hp2, dt=day)
+    bp2 = np.asarray(
+        batch.evolve(jax.random.PRNGKey(4), bp[None], jnp.float32(1.0))
+    )[0]
+    np.testing.assert_allclose(
+        bp2[:, 0:3].mean(axis=0), hp2[:, 0:3].mean(axis=0), atol=0.1
+    )
+    # z variance grows with the slope-scaled random walk in both.
+    np.testing.assert_allclose(
+        bp2[:, 2].std(), hp2[:, 2].std(), rtol=0.15
+    )
