@@ -640,3 +640,18 @@ def test_tangent_motion_distributions_match_host() -> None:
     np.testing.assert_allclose(
         bp2[:, 2].std(), hp2[:, 2].std(), rtol=0.15
     )
+
+
+def test_batch_tracker_runs_in_bfloat16() -> None:
+    """Non-default dtypes keep the scan carry stable (bfloat16 smoke)."""
+    rng = np.random.default_rng(4)
+    frames = rng.random((3, 1, 64, 64)).astype(np.float32)
+    motion = make_motion(np.array([[32.0, 32.0]]))
+    cam = np.array([32, 32, 100, 0, -90, 0, 64, 64, 50, 50, 32, 32,
+                    0, 0, 0, 0, 0, 0, 0, 0], np.float32)
+    cfg = BatchConfig(n_particles=32, template_size=(7, 7),
+                      search_size=(15, 15), dtype=jnp.bfloat16)
+    tracker = BatchTracker([cam], [None], [0.3], motion, config=cfg)
+    _, out = tracker.track(jax.random.PRNGKey(0), frames, np.ones(2, np.float32))
+    mean = np.asarray(out["mean"], np.float32)
+    assert mean.dtype == np.float32 and np.isfinite(mean).all()
