@@ -335,6 +335,13 @@ class BatchConfig:
                 f"highpass_mode must be 'auto', 'xla', or 'pallas',"
                 f" got {self.highpass_mode!r}"
             )
+        if self.highpass_mode == "pallas":
+            kh, kw = self.highpass_size
+            if kh % 2 == 0 or kw % 2 == 0 or kh * kw > 49:
+                raise ValueError(
+                    "highpass_mode='pallas' requires odd highpass_size taps"
+                    f" with at most 49 total, got {self.highpass_size}"
+                )
 
 
 @jax.tree_util.register_pytree_node_class

@@ -655,3 +655,12 @@ def test_batch_tracker_runs_in_bfloat16() -> None:
     _, out = tracker.track(jax.random.PRNGKey(0), frames, np.ones(2, np.float32))
     mean = np.asarray(out["mean"], np.float32)
     assert mean.dtype == np.float32 and np.isfinite(mean).all()
+
+
+def test_batch_config_rejects_even_pallas_highpass() -> None:
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="odd highpass_size"):
+        BatchConfig(highpass_mode="pallas", highpass_size=(4, 4))
+    with _pytest.raises(ValueError, match="at most 49"):
+        BatchConfig(highpass_mode="pallas", highpass_size=(9, 9))
