@@ -7,7 +7,7 @@ sort-based CDF computation and histogram matching, and a median high-pass
 filter. All fixed-shape and fully vectorized so they fuse into the jitted
 tracker step; batched variants operate on stacks of tiles.
 """
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -8,8 +8,6 @@ vectorized FilterPy ports). The NumPy versions take a ``numpy.random
 replication is expressed as a searchsorted over cumulative counts, the
 remainder drawn from the residual distribution).
 """
-from typing import Optional
-
 import numpy as np
 
 

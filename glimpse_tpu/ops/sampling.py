@@ -20,7 +20,6 @@ All functions operate in *index space*: coordinate ``i`` refers to grid node
 Dual backend: ``xp=numpy`` or ``xp=jax.numpy``.
 """
 import functools
-from typing import Optional, Tuple
 
 import numpy as np
 

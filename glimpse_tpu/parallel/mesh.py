@@ -12,7 +12,7 @@ only communication is the initial scatter and final gather, riding ICI.
 Multi-host scaling composes on top: initialize ``jax.distributed``, build
 the same mesh over all devices, and feed each host its local point shard.
 """
-from typing import Optional, Sequence
+from typing import Optional
 
 import numpy as np
 

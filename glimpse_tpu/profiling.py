@@ -9,7 +9,7 @@ import contextlib
 import sys
 import time
 from pathlib import Path
-from typing import Any, Dict, Optional, Union
+from typing import Any, Dict, Union
 
 
 def sync(value: Any) -> Any:

@@ -8,7 +8,7 @@ grayscale kernel when built) one step ahead of the device, so
 """
 import concurrent.futures
 import datetime as datetime_module
-from typing import Callable, Iterable, Iterator, List, Optional, Sequence, Union
+from typing import Iterable, Iterator, Optional, Sequence
 
 import numpy as np
 

@@ -7,7 +7,7 @@ splitting. Tile interpolation goes through the exact cubic B-spline ops in
 :mod:`glimpse_tpu.ops.sampling` instead of scipy splines.
 """
 import datetime
-from typing import Any, Iterable, List, Tuple, Union
+from typing import Any, Iterable, List, Union
 
 import numpy as np
 

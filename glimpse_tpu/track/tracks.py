@@ -7,7 +7,7 @@ warnings (fault containment), temporal reversal for backward tracking, and
 inverse-variance fusion of multiple runs.
 """
 import datetime
-from typing import Any, Dict, Iterable, List, Optional, Tuple, Union
+from typing import Any, Dict, Iterable, Optional, Tuple, Union
 
 import numpy as np
 
