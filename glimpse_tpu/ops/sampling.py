@@ -29,6 +29,12 @@ __all__ = [
     "bspline_prefilter_matrix",
     "bspline_prefilter_2d",
     "bspline_sample",
+    "bspline_pad_coeffs",
+    "bspline_sample_padded",
+    "bspline_eval_matrix",
+    "bspline_upsample",
+    "bspline_basis_dense",
+    "cubic_bspline_kernel",
     "sample_grid",
 ]
 
