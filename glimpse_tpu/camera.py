@@ -34,6 +34,15 @@ class Camera:
     ``correction`` enables earth-curvature + atmospheric-refraction
     correction when projecting absolute world coordinates: `False` to skip,
     `True` for defaults, or a dict with ``radius`` and/or ``refraction``.
+
+    Example (projection round trip is exact to float64 precision):
+
+        >>> cam = Camera(imgsz=(100, 80), f=90, k=(-0.1, 0.05, 0, 0, 0, 0))
+        >>> uv = [[25.0, 60.0], [50.0, 40.0]]
+        >>> cam.xyz_to_uv(cam.uv_to_xyz(uv)).round(9).tolist()
+        [[25.0, 60.0], [50.0, 40.0]]
+        >>> cam.uv_to_xyz([[50.0, 40.0]]).round(9).tolist()  # optical axis
+        [[0.0, 1.0, 0.0]]
     """
 
     def __init__(

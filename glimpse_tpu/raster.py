@@ -425,6 +425,15 @@ class Raster(Grid):
     :mod:`glimpse_tpu.ops.sampling`, crop/resize/shift, terrain analysis
     (viewshed/horizon/hillshade via :mod:`glimpse_tpu.ops.terrain`),
     GDAL-free file I/O, and a capture ``datetime`` for time series.
+
+    Example (cell centers sample exactly; y descends row-wise by default):
+
+        >>> import numpy as np
+        >>> r = Raster(np.array([[0.0, 1.0], [2.0, 3.0]]), x=(0, 2), y=(2, 0))
+        >>> r.sample(np.array([[0.5, 1.5], [1.5, 0.5]])).tolist()
+        [0.0, 3.0]
+        >>> r.sample(np.array([[1.0, 1.0]])).tolist()  # bilinear midpoint
+        [1.5]
     """
 
     def __init__(
