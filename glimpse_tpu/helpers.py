@@ -72,13 +72,12 @@ def format_list(
 
 def numpy_dtype_minmax(dtype: np.dtype) -> Tuple[Any, Any]:
     """Return the (min, max) representable values for a numpy dtype."""
-    if issubclass(dtype.type, np.floating):
-        info = np.finfo(dtype)
+    kind = np.dtype(dtype).kind
+    probes = {"f": np.finfo, "i": np.iinfo, "u": np.iinfo}
+    if kind in probes:
+        info = probes[kind](dtype)
         return info.min, info.max
-    if issubclass(dtype.type, np.integer):
-        info = np.iinfo(dtype)
-        return info.min, info.max
-    if dtype.type is np.bool_:
+    if kind == "b":
         return False, True
     raise ValueError(f"Cannot determine min, max for {dtype}")
 
@@ -184,21 +183,64 @@ def write_json(
     single line each.
     """
     txt = json.dumps(obj, **kwargs)
-    if flat_arrays and kwargs.get("indent") is not None and kwargs.get("indent") >= 0:
-        separators = kwargs.get("separators")
-        sep = separators[0] if separators else ", "
-        squished = re.sub(r"\s", "", sep)
-
-        def flatten(match: Match) -> str:
-            return re.sub(squished, sep, re.sub(r"\s", "", match.group(0)))
-
-        txt = re.sub(r"(\[\s*)+[^\]\{]*(\s*\])+", flatten, txt)
+    indent = kwargs.get("indent")
+    if flat_arrays and indent is not None and indent >= 0:
+        item_sep = (kwargs.get("separators") or (", ",))[0]
+        txt = "".join(
+            json.dumps(json.loads(span), separators=(item_sep, ": "))
+            if is_array
+            else span
+            for span, is_array in _iter_array_spans(txt)
+        )
     if path:
         path = Path(path)
         path.parent.mkdir(parents=True, exist_ok=True)
         path.write_text(txt)
         return None
     return txt
+
+
+def _iter_array_spans(txt: str):
+    """Split JSON text into (span, is_pure_array) chunks.
+
+    A pure array is a balanced ``[...]`` region (possibly nested) containing
+    no objects and no strings — i.e. a numeric leaf suitable for collapsing
+    onto a single line. Scanning is stack-based rather than regex-based so
+    nesting depth is unlimited.
+    """
+    cursor = 0
+    i = 0
+    n = len(txt)
+    while i < n:
+        if txt[i] == '"':  # skip string literals (may contain brackets)
+            i += 1
+            while i < n and txt[i] != '"':
+                i += 2 if txt[i] == "\\" else 1
+            i += 1
+            continue
+        if txt[i] == "[":
+            depth = 0
+            j = i
+            pure = True
+            while j < n:
+                c = txt[j]
+                if c == '"' or c == "{":
+                    pure = False
+                elif c == "[":
+                    depth += 1
+                elif c == "]":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            if pure and j < n:
+                yield txt[cursor:i], False
+                yield txt[i : j + 1], True
+                cursor = j + 1
+                i = j + 1
+                continue
+        i += 1
+    yield txt[cursor:], False
 
 
 # ---- Array statistics ---- #
@@ -223,17 +265,12 @@ def gaussian_filter(
     Masked filtering follows the normalized-convolution identity: filter the
     zero-filled array and divide by the filtered indicator.
     """
+    blur = lambda arr: scipy.ndimage.gaussian_filter(arr, **kwargs)
     if mask is None:
-        return scipy.ndimage.gaussian_filter(a, **kwargs)
-    x = a.copy()
-    x[~mask] = 0
-    xf = scipy.ndimage.gaussian_filter(x, **kwargs)
-    x[mask] = 1
-    xf_sum = scipy.ndimage.gaussian_filter(x, **kwargs)
-    x = xf / xf_sum
-    if not fill:
-        x[~mask] = a[~mask]
-    return x
+        return blur(a)
+    indicator = mask.astype(a.dtype)
+    smoothed = blur(np.where(mask, a, 0)) / blur(indicator)
+    return smoothed if fill else np.where(mask, smoothed, a)
 
 
 def maximum_filter(
@@ -283,14 +320,13 @@ def match_cdf(
 
 
 def _numpy_dropdims(a: np.ndarray, axis: int = None, keepdims: bool = False) -> Any:
+    """Collapse a length-1 reduction axis (or a scalar) unless keepdims."""
     a = np.asarray(a)
     if keepdims:
         return a
-    if axis is None and a.size == 1:
-        return a.item()
-    if axis is not None and a.shape[axis] == 1:
-        return a.squeeze(axis=axis)
-    return a
+    if axis is None:
+        return a.item() if a.size == 1 else a
+    return a.squeeze(axis=axis) if a.shape[axis] == 1 else a
 
 
 def sum_normals(
@@ -308,43 +344,38 @@ def sum_normals(
     Standard linear error propagation with an assumed uniform pairwise
     correlation. Used for merging forward/backward tracking runs
     (correlation=0) and time-averaging velocities (correlation=1).
+
+    The cross term uses the algebraic identity
+    ``2 rho * sum_{i<j} (w s)_i (w s)_j = rho * [(sum w s)^2 - sum (w s)^2]``,
+    which is O(n) instead of enumerating index pairs.
     """
-    isnan = np.isnan(means)
-    if np.any(isnan != np.isnan(sigmas)):
+    means = np.asarray(means, dtype=float)
+    sigmas = np.asarray(sigmas, dtype=float)
+    missing = np.isnan(means)
+    if (missing ^ np.isnan(sigmas)).any():
         raise ValueError("Means and sigmas have missing values at different indices")
-    if np.any(sigmas == 0):
+    if (sigmas == 0).any():
         raise ValueError("Sigmas cannot be zero")
-    if weights is None:
-        weights = np.ones(means.shape)
+    w = np.ones_like(means) if weights is None else np.asarray(weights, dtype=float)
     if normalize:
-        with warnings.catch_warnings():
-            warnings.simplefilter("ignore")
-            weights = weights * (
-                1 / np.nansum(weights * ~isnan, axis=axis, keepdims=True)
-            )
-    wmeans = np.nansum(weights * means, axis=axis, keepdims=True)
-    variances = np.nansum(weights ** 2 * sigmas ** 2, axis=axis, keepdims=True)
-    if ignore_nan:
-        mask = isnan.all(axis=axis, keepdims=True)
-    else:
-        mask = isnan.any(axis=axis, keepdims=True)
-    wmeans[mask] = np.nan
-    variances[mask] = np.nan
+        valid_total = np.nansum(np.where(missing, 0.0, w), axis=axis, keepdims=True)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            w = w / valid_total
+    ws = w * sigmas
+    total_mean = np.nansum(w * means, axis=axis, keepdims=True)
+    variance = np.nansum(ws ** 2, axis=axis, keepdims=True)
     if correlation:
-        n = means.size if axis is None else means.shape[axis]
-        pairs = np.triu_indices(n=n, k=1)
-        variances += 2 * np.nansum(
-            correlation
-            * np.take(weights, pairs[0], axis=axis)
-            * np.take(weights, pairs[1], axis=axis)
-            * np.take(sigmas, pairs[0], axis=axis)
-            * np.take(sigmas, pairs[1], axis=axis),
-            axis=axis,
-            keepdims=True,
-        )
+        cross = np.nansum(ws, axis=axis, keepdims=True) ** 2 - variance
+        variance = variance + correlation * cross
+    # Propagate NaN: any missing input poisons the output, unless ignore_nan,
+    # in which case only an all-missing reduction does.
+    reducer = np.all if ignore_nan else np.any
+    bad = reducer(missing, axis=axis, keepdims=True)
+    total_mean = np.where(bad, np.nan, total_mean)
+    variance = np.where(bad, np.nan, variance)
     return (
-        _numpy_dropdims(wmeans, axis=axis, keepdims=keepdims),
-        _numpy_dropdims(np.sqrt(variances), axis=axis, keepdims=keepdims),
+        _numpy_dropdims(total_mean, axis=axis, keepdims=keepdims),
+        _numpy_dropdims(np.sqrt(variance), axis=axis, keepdims=keepdims),
     )
 
 
@@ -359,17 +390,19 @@ def boolean_split(
     include: str = "all",
 ) -> List[np.ndarray]:
     """Split an array into runs of contiguous True/False mask values."""
-    cuts = np.nonzero(mask[1:] != mask[:-1])[0] + 1
-    splits = np.split(a, cuts, axis=axis)
-    if circular and len(splits) > 1 and bool(mask[0]) == bool(mask[-1]):
-        splits[0] = np.concatenate((splits[-1], splits[0]), axis=axis)
-        splits.pop(-1)
+    mask = np.asarray(mask, dtype=bool)
+    cuts = np.flatnonzero(np.diff(mask.astype(np.int8))) + 1
+    runs = np.split(a, cuts, axis=axis)
+    if circular and cuts.size and mask[0] == mask[-1]:
+        # Wrap the trailing run onto the leading one.
+        runs[0] = np.concatenate((runs.pop(), runs[0]), axis=axis)
     if include == "all":
-        return splits
-    if include == "true":
-        return splits[slice(0, None, 2) if mask[0] else slice(1, None, 2)]
-    if include == "false":
-        return splits[slice(1, None, 2) if mask[0] else slice(0, None, 2)]
+        return runs
+    if include in ("true", "false"):
+        want = include == "true"
+        # Runs alternate in mask value starting from mask[0].
+        offset = 0 if mask[0] == want else 1
+        return runs[offset::2]
     return []
 
 
@@ -413,14 +446,15 @@ def intersect_boxes(boxes: Iterable[Iterable]) -> np.ndarray:
         array([ 5,  5, 10, 10])
     """
     boxes = np.asarray(boxes)
-    if boxes.shape[1] % 2 != 0:
+    if boxes.shape[1] % 2:
         raise ValueError("Box lengths are not divisible by 2")
-    ndim = boxes.shape[1] // 2
-    boxmin = np.nanmax(boxes[:, 0:ndim], axis=0)
-    boxmax = np.nanmin(boxes[:, ndim:], axis=0)
-    if any(boxmax - boxmin <= 0):
+    # View as (n, 2, ndim): row 0 = lower corner, row 1 = upper corner.
+    corners = boxes.reshape(boxes.shape[0], 2, -1)
+    lo = np.nanmax(corners[:, 0], axis=0)
+    hi = np.nanmin(corners[:, 1], axis=0)
+    if not (hi > lo).all():
         raise ValueError("Boxes do not intersect")
-    return np.hstack((boxmin, boxmax))
+    return np.concatenate([lo, hi])
 
 
 def box_to_grid(
@@ -430,26 +464,24 @@ def box_to_grid(
     mode: str = "grids",
 ) -> Union[np.ndarray, Tuple[np.ndarray, ...]]:
     """Return a grid of points inside a box, optionally aligned to a snap point."""
-    box = unravel_box(box)
-    ndim = box.shape[1]
-    step = step if np.iterable(step) else (step,) * ndim
-    if snap is None:
-        snap = box[0, :]
-    shift = (snap - box[0, :]) % step
-    n = (np.diff(box, axis=0).ravel() - shift) // step
-    arrays = (
-        np.linspace(
-            box[0, i] + shift[i], box[0, i] + shift[i] + n[i] * step[i], int(n[i]) + 1
-        )
-        for i in range(ndim)
-    )
+    lo, hi = unravel_box(box)
+    steps = np.broadcast_to(np.asarray(step, dtype=float), lo.shape)
+    anchor = lo if snap is None else np.asarray(snap, dtype=float)
+
+    def axis_coords(a0, a1, d, s):
+        # First grid coordinate >= a0 on the lattice {s + k*d}, then march to a1.
+        first = a0 + (s - a0) % d
+        count = int((a1 - first) // d) + 1
+        return first + d * np.arange(count)
+
+    axes = tuple(axis_coords(*args) for args in zip(lo, hi, steps, anchor))
     if mode == "vectors":
-        return tuple(arrays)
-    grid = tuple(np.meshgrid(*arrays))
+        return axes
+    mesh = tuple(np.meshgrid(*axes))
     if mode == "grids":
-        return grid
+        return mesh
     if mode == "points":
-        return grid_to_points(grid)
+        return grid_to_points(mesh)
     raise ValueError(f"Unsupported mode: {mode}")
 
 
@@ -462,26 +494,39 @@ def grid_to_points(grid: Iterable[np.ndarray]) -> np.ndarray:
 def clip_polyline_box(
     line: np.ndarray, box: Iterable, t: bool = False
 ) -> List[np.ndarray]:
-    """Return segments of a polyline within a box, inserting boundary vertices."""
+    """Return segments of a polyline within a box, inserting boundary vertices.
+
+    Runs of in-box vertices are located directly from the membership mask;
+    each run is extended with the point where the connecting edge to its
+    out-of-box neighbor crosses the box boundary (when that crossing exists).
+    """
+    line = np.asarray(line)
     cols = slice(None, -1) if t else slice(None)
-    mask = in_box(line[:, cols], box)
-    segments = boolean_split(line, mask)
-    trues = slice(int(not mask[0]), None, 2)
-    nsegments = len(segments)
-    for i in range(*trues.indices(nsegments)):
-        if i > 0:
-            origin = segments[i - 1][-1, :]
-            distance = segments[i][0, :] - origin
-            ti = intersect_edge_box(origin[cols], distance[cols], box)
-            if ti is not None:
-                segments[i] = np.vstack((origin + ti * distance, segments[i]))
-        if i < nsegments - 1:
-            origin = segments[i][-1, :]
-            distance = segments[i + 1][0, :] - origin
-            ti = intersect_edge_box(origin[cols], distance[cols], box)
-            if ti is not None:
-                segments[i] = np.vstack((segments[i], origin + ti * distance))
-    return segments[trues]
+    inside = in_box(line[:, cols], box)
+    # Run boundaries: starts where False->True, ends where True->False.
+    padded = np.concatenate([[False], inside, [False]])
+    starts = np.flatnonzero(padded[1:] & ~padded[:-1])
+    ends = np.flatnonzero(padded[:-1] & ~padded[1:])  # exclusive
+
+    def boundary_point(inner_idx, outer_idx):
+        a = line[inner_idx]
+        step = line[outer_idx] - a
+        frac = intersect_edge_box(a[cols], step[cols], box)
+        return None if frac is None else a + frac * step
+
+    pieces = []
+    for lo, hi in zip(starts, ends):
+        parts = [line[lo:hi]]
+        if lo > 0:
+            entry = boundary_point(lo, lo - 1)
+            if entry is not None:
+                parts.insert(0, entry[None, :])
+        if hi < len(line):
+            exit_ = boundary_point(hi - 1, hi)
+            if exit_ is not None:
+                parts.append(exit_[None, :])
+        pieces.append(np.concatenate(parts, axis=0) if len(parts) > 1 else parts[0])
+    return pieces
 
 
 def intersect_edge_box(
@@ -662,44 +707,52 @@ def interpolate_line(
     error: bool = True,
     fill: Any = "endpoints",
 ) -> np.ndarray:
-    """Return points at specified (or evenly spaced) distances along a polyline."""
+    """Return points at specified (or evenly spaced) distances along a polyline.
+
+    Interpolation is done by locating each query once with ``searchsorted``
+    and applying the resulting linear weights to every coordinate column
+    simultaneously (instead of per-column ``np.interp``).
+    """
     if xi is None and n is None and dx is None:
         raise ValueError("One of xi, n, or dx is required")
+    vertices = np.asarray(vertices, dtype=float)
     if x is None:
-        x = np.cumsum(np.sqrt(np.sum(np.diff(vertices, axis=0) ** 2, axis=1)))
-        x = np.insert(x, 0, 0)
+        seglen = np.linalg.norm(np.diff(vertices, axis=0), axis=1)
+        x = np.concatenate([[0.0], np.cumsum(seglen)])
     else:
-        x = np.asarray(x)
-    if xi is None:
+        x = np.asarray(x, dtype=float)
+    descending = len(x) > 1 and x[1] < x[0]
+    auto = xi is None
+    if auto:
         if n is None:
-            n = abs((x[-1] - x[0]) / dx)
-            if n == int(n):
-                n += 1
-            n = int(round(n))
-        xi = np.linspace(start=x[0], stop=x[-1], num=n, endpoint=True)
-        error = False
-        fill = "endpoints"
-    if len(x) > 1 and x[1] < x[0]:
-        order = np.argsort(x)
-        x = x[order]
-        vertices = vertices[order, :]
-    result = np.column_stack(
-        [np.interp(xi, x, vertices[:, i]) for i in range(vertices.shape[1])]
-    )
-    if fill == "endpoints":
-        if error is False:
-            return result
-        fill = (vertices[0], vertices[-1])
-    if not np.iterable(fill):
-        fill = (fill, fill)
-    left = np.less(xi, x[0])
-    right = np.greater(xi, x[-1])
-    if x[0] > x[-1]:
-        right, left = left, right
-    if error and (left.any() or right.any()):
+            span = abs(x[-1] - x[0]) / dx
+            # A whole number of steps still gets its trailing endpoint.
+            n = int(round(span + 1)) if span == int(span) else int(round(span))
+        xi = np.linspace(x[0], x[-1], num=n)
+        error, fill = False, "endpoints"
+    xi = np.asarray(xi, dtype=float)
+    if descending:
+        x, vertices = x[::-1], vertices[::-1]
+    # One location pass, shared linear weights for all columns.
+    hi = np.clip(np.searchsorted(x, xi), 1, len(x) - 1)
+    x0, x1 = x[hi - 1], x[hi]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        w = np.where(x1 > x0, (xi - x0) / np.where(x1 > x0, x1 - x0, 1.0), 0.0)
+    w = np.clip(w, 0.0, 1.0)[:, None]
+    result = (1 - w) * vertices[hi - 1] + w * vertices[hi]
+    below, above = xi < x[0], xi > x[-1]
+    if error and (below.any() or above.any()):
         raise ValueError("Requested distance outside range")
-    result[left, :] = fill[0]
-    result[right, :] = fill[1]
+    if isinstance(fill, str) and fill == "endpoints":
+        first, last = vertices[0], vertices[-1]
+    elif np.iterable(fill):
+        first, last = fill
+    else:
+        first = last = fill
+    # Note: fill[0] pairs with the below-range side in the ascending frame
+    # (vertices are reversed alongside x when distances run backwards).
+    result[below] = first
+    result[above] = last
     return result
 
 
@@ -720,27 +773,25 @@ def rasterize_points(
         >>> idx.tolist(), means.tolist()
         ([0, 4], [1.5, 3.0])
     """
-    values = np.asarray(values)
+    values = np.asarray(values, dtype=float)
     if shape is None:
         shape = a.shape
-    idx = np.ravel_multi_index((rows, cols), shape[0:2])
-    uidx, labels = np.unique(idx, return_inverse=True)
-    counts = np.bincount(labels)
-    if values.ndim == 1 or (a is not None and values.shape[1] == 1):
-        sums = np.bincount(labels, weights=values.ravel())
-    else:
-        sums = np.column_stack(
-            [np.bincount(labels, weights=values[:, i]) for i in range(values.shape[1])]
-        )
-        counts = counts.reshape(-1, 1)
-    means = sums * (1 / counts)
+    nrows, ncols = int(shape[0]), int(shape[1])
+    flat = np.asarray(rows) * ncols + np.asarray(cols)
+    squeeze = values.ndim == 1 or (a is not None and values.shape[1] == 1)
+    stacked = values.reshape(len(flat), -1)
+    # Dense scatter-add over the raster, then keep only occupied cells.
+    hits = np.zeros(nrows * ncols, dtype=np.intp)
+    np.add.at(hits, flat, 1)
+    totals = np.zeros((nrows * ncols, stacked.shape[1]))
+    np.add.at(totals, flat, stacked)
+    occupied = np.flatnonzero(hits)
+    means = totals[occupied] / hits[occupied, None]
+    if squeeze:
+        means = means[:, 0]
     if a is None:
-        return uidx, means
-    if means.ndim == 1:
-        a.flat[uidx] = means
-    else:
-        ij = np.unravel_index(uidx, shape[0:2])
-        a[ij] = means
+        return occupied, means
+    a[np.unravel_index(occupied, (nrows, ncols))] = means
     return None
 
 
@@ -817,35 +868,33 @@ def select_datetimes(
     maxdt: datetime.timedelta = None,
     origin: datetime.datetime = datetime.datetime(1970, 1, 1, 0, 0, 0),
 ) -> np.ndarray:
-    """Boolean mask of datetimes within [start, end], optionally snapped to a grid."""
+    """Boolean mask of datetimes within [start, end], optionally snapped to a grid.
+
+    With ``snap``, the window is tiled with targets on the lattice
+    ``{origin + k*snap}`` and only the datetime nearest each target (within
+    ``maxdt``, default ``snap/2``) survives. Computation is done on float
+    timestamps so the lattice math is plain arithmetic.
+    """
     datetimes = np.asarray(datetimes)
-    selected = np.ones(datetimes.shape, dtype=bool)
-    if start:
-        selected &= datetimes >= start
-    else:
-        start = datetimes[0]
-        if snap:
-            start -= snap
-    if end:
-        selected &= datetimes <= end
-    else:
-        end = datetimes[-1]
-        if snap:
-            end += snap
-    if start > end:
+    t = np.array([d.timestamp() for d in datetimes])
+    pad = snap.total_seconds() if (snap and not (start and end)) else 0.0
+    lo = start.timestamp() if start else t[0] - pad
+    hi = end.timestamp() if end else t[-1] + pad
+    if lo > hi:
         raise ValueError("Start datetime is after end datetime")
+    selected = (t >= lo) & (t <= hi)
     if snap:
-        shift = (origin - start) % snap
-        start = start + shift
-        targets = datetime_range(start, end, step=snap)
-        nearest = sorted_nearest(datetimes, targets)
-        if maxdt is None:
-            maxdt = snap * 0.5
-        distances = np.abs(targets - datetimes[nearest])
-        nearest = np.unique(nearest[distances <= maxdt])
-        temp = np.zeros(datetimes.shape, dtype=bool)
-        temp[nearest] = True
-        selected &= temp
+        period = snap.total_seconds()
+        anchor = origin.timestamp()
+        # Lattice targets covering [lo, hi].
+        first = lo + (anchor - lo) % period
+        targets = np.arange(first, hi + period * 1e-9, period)
+        winners = sorted_nearest(t, targets)
+        tol = (maxdt.total_seconds() if maxdt is not None else period / 2)
+        close = np.abs(t[winners] - targets) <= tol
+        keep = np.zeros(t.shape, dtype=bool)
+        keep[winners[close]] = True
+        selected &= keep
     return selected
 
 
@@ -854,15 +903,14 @@ def select_datetimes(
 
 def _parse_parallel(parallel: Union[int, bool]) -> int:
     """Parse a bool/int parallelism argument into a worker count."""
-    if parallel is True:
-        n = os.cpu_count()
-        if n is None:
+    if isinstance(parallel, bool):
+        if not parallel:
+            return 0
+        count = os.cpu_count()
+        if count is None:
             raise NotImplementedError("Cannot determine number of CPUs")
-    elif parallel is False:
-        n = 0
-    else:
-        n = int(parallel)
-    return n
+        return count
+    return int(parallel)
 
 
 # ---- GIS (GDAL-free) ---- #
@@ -955,20 +1003,15 @@ def plot_quivers(x, dx, c=None, ax=None, **kwargs):
     """
     import matplotlib.pyplot as plt
 
+    defaults = dict(
+        width=5, headaxislength=0, headwidth=1, minlength=0,
+        pivot="tail", angles="xy", scale_units="xy", scale=1,
+    )
+    for key, value in defaults.items():
+        kwargs.setdefault(key, value)
     x = np.asarray(x)
     dx = np.asarray(dx)
-    kwargs = {
-        "width": 5,
-        "headaxislength": 0,
-        "headwidth": 1,
-        "minlength": 0,
-        "pivot": "tail",
-        "angles": "xy",
-        "scale_units": "xy",
-        "scale": 1,
-        **kwargs,
-    }
-    ax = ax or plt.gca()
-    if c is None:
-        return ax.quiver(x[:, 0], x[:, 1], dx[:, 0], dx[:, 1], **kwargs)
-    return ax.quiver(x[:, 0], x[:, 1], dx[:, 0], dx[:, 1], c, **kwargs)
+    args = [x[:, 0], x[:, 1], dx[:, 0], dx[:, 1]]
+    if c is not None:
+        args.append(c)
+    return (ax or plt.gca()).quiver(*args, **kwargs)
