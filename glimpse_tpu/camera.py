@@ -59,43 +59,52 @@ class Camera:
         viewdir: Vector = (0, 0, 0),
         correction: Union[bool, dict] = False,
     ) -> None:
-        if (fmm is not None or cmm is not None) and sensorsz is None:
-            raise ValueError("Attributes in mm (fmm, cmm) provided without sensor size")
-        if f is not None and fmm is not None:
-            raise ValueError("Focal length provided in both pixels and mm (f, fmm)")
-        if c is not None and cmm is not None:
-            raise ValueError(
-                "Principal point offset provided in both pixels and mm (c, cmm)"
-            )
         if imgsz is None:
             raise ValueError("Image size (imgsz) cannot be None")
         self._vector = np.full(20, np.nan, dtype=float)
-        self.xyz = xyz
-        self.viewdir = viewdir
         self.imgsz = imgsz
         self.sensorsz = sensorsz
-        if fmm is not None:
-            f = helpers.format_list(fmm, length=2) * self.imgsz / self.sensorsz
-        if f is None:
-            raise ValueError("Focal length (f or fmm) is missing")
-        self.f = f
-        if cmm is not None:
-            c = helpers.format_list(cmm, length=2) * self.imgsz / self.sensorsz
-        if c is None:
-            c = (0, 0)
-        self.c = c
+        self.xyz = xyz
+        self.viewdir = viewdir
+        self.f = self._resolve_px_units("f", px=f, mm=fmm, required=True)
+        self.c = self._resolve_px_units("c", px=c, mm=cmm, required=False)
         self.k = k
         self.p = p
-        if correction is True:
-            correction = {}
-        if isinstance(correction, dict):
-            correction = {
-                "radius": proj.EARTH_RADIUS,
-                "refraction": proj.REFRACTION,
-                **correction,
-            }
-        self.correction = correction
+        self.correction = self._normalize_correction(correction)
         self._original_vector = self._vector.copy()
+
+    def _resolve_px_units(self, name, px, mm, required):
+        """Resolve a parameter given in pixels or millimeters (not both)."""
+        if mm is None:
+            if px is not None:
+                return px
+            if required:
+                raise ValueError(f"Focal length ({name} or {name}mm) is missing")
+            return (0, 0)
+        if px is not None:
+            what = "Focal length" if name == "f" else "Principal point offset"
+            raise ValueError(
+                f"{what} provided in both pixels and mm ({name}, {name}mm)"
+            )
+        if self.sensorsz is None:
+            raise ValueError("Attributes in mm (fmm, cmm) provided without sensor size")
+        pitch = self.imgsz / self.sensorsz  # px per mm, per axis
+        return helpers.format_list(mm, length=2) * pitch
+
+    @staticmethod
+    def _normalize_correction(correction):
+        """Expand a curvature/refraction spec to a full dict (or False)."""
+        if correction is True:
+            overrides = {}
+        elif isinstance(correction, dict):
+            overrides = correction
+        else:
+            return correction
+        return {
+            "radius": proj.EARTH_RADIUS,
+            "refraction": proj.REFRACTION,
+            **overrides,
+        }
 
     # ---- Vector-slice properties ---- #
 
@@ -367,21 +376,23 @@ class Camera:
         return helpers.box_to_grid(box, step=step, snap=snap, mode=mode)
 
     def edges(self, step: Vector = 1) -> np.ndarray:
-        """Return coordinates of image edges, clockwise from the origin."""
+        """Return coordinates of image edges, clockwise from the origin.
+
+        The perimeter is generated as four corner-to-corner sides, each
+        side dropping its final vertex (which starts the next side).
+        """
         if isinstance(step, (int, float)):
             step = (step, step)
-        nu = self.imgsz[0] / step[0] + 1
-        nv = self.imgsz[1] / step[1] + 1
-        u = np.linspace(0, self.imgsz[0], int(nu))
-        v = np.linspace(0, self.imgsz[1], int(nv))
-        return np.vstack(
-            (
-                np.column_stack((u, np.repeat(0, len(u)))),
-                np.column_stack((np.repeat(u[-1], len(v) - 2), v[1:-1])),
-                np.column_stack((u[::-1], np.repeat(v[-1], len(u)))),
-                np.column_stack((np.repeat(0, len(v) - 2), v[::-1][1:-1])),
-            )
-        )
+        w, h = float(self.imgsz[0]), float(self.imgsz[1])
+        nu = int(w / step[0] + 1)
+        nv = int(h / step[1] + 1)
+        corners = [(0.0, 0.0), (w, 0.0), (w, h), (0.0, h), (0.0, 0.0)]
+        counts = [nu, nv, nu, nv]
+        sides = []
+        for (x0, y0), (x1, y1), n in zip(corners[:-1], corners[1:], counts):
+            side = np.column_stack((np.linspace(x0, x1, n), np.linspace(y0, y1, n)))
+            sides.append(side[:-1])
+        return np.concatenate(sides)
 
     def viewbox(self, depth: Number) -> np.ndarray:
         """Bounding box of the viewshed built from edge pixels projected to depth."""
@@ -465,32 +476,21 @@ class Camera:
         )
 
     def reversible(self) -> bool:
-        """Test whether distorted image coordinates increase monotonically."""
-        xy_row = np.column_stack(
-            (
-                np.linspace(
-                    -self.imgsz[0] / (2 * self.f[0]),
-                    self.imgsz[0] / (2 * self.f[0]),
-                    int(self.imgsz[0]),
-                ),
-                np.zeros(int(self.imgsz[0])),
-            )
-        )
-        dxy = self._distort(xy_row)
-        continuous_row = bool(np.all(dxy[1:, 0] >= dxy[:-1, 0]))
-        xy_col = np.column_stack(
-            (
-                np.zeros(int(self.imgsz[1])),
-                np.linspace(
-                    -self.imgsz[1] / (2 * self.f[1]),
-                    self.imgsz[1] / (2 * self.f[1]),
-                    int(self.imgsz[1]),
-                ),
-            )
-        )
-        dxy = self._distort(xy_col)
-        continuous_col = bool(np.all(dxy[1:, 1] >= dxy[:-1, 1]))
-        return continuous_row and continuous_col
+        """Test whether distorted image coordinates increase monotonically.
+
+        Samples each principal axis at pixel resolution and checks that the
+        distortion map never reverses direction along it.
+        """
+
+        def monotone_along(axis: int) -> bool:
+            n = int(self.imgsz[axis])
+            half_extent = self.imgsz[axis] / (2 * self.f[axis])
+            xy = np.zeros((n, 2))
+            xy[:, axis] = np.linspace(-half_extent, half_extent, n)
+            distorted = self._distort(xy)[:, axis]
+            return not (np.diff(distorted) < 0).any()
+
+        return monotone_along(0) and monotone_along(1)
 
     def project_dem(
         self,

@@ -30,29 +30,43 @@ class Image:
         exif: Exif = None,
     ) -> None:
         self.path = str(path)
-        if cam is None:
-            cam = {}
-        if isinstance(cam, dict):
-            needs_imgsz = cam.get("imgsz") is None
-            needs_fmm = cam.get("f") is None and cam.get("fmm") is None
-            needs_sensorsz = cam.get("f") is None and cam.get("sensorsz") is None
-            if any([needs_imgsz, needs_fmm, needs_sensorsz]):
-                exif = exif or Exif(path)
-                cam = cam.copy()
-                if needs_imgsz:
-                    cam["imgsz"] = exif.imgsz or self._path_imgsz
-                if needs_fmm and exif.fmm:
-                    cam["fmm"] = exif.fmm
-                if needs_sensorsz and exif.sensorsz:
-                    cam["sensorsz"] = exif.sensorsz
-            cam = Camera(**cam)
+        self._exif = exif
+        if not isinstance(cam, Camera):
+            cam = Camera(**self._fill_camera_args(dict(cam or {})))
         self.cam = cam
-        if not datetime:
-            exif = exif or Exif(path)
-            datetime = exif.datetime
-        self.datetime = datetime
-        self.exif = exif
+        self.datetime = datetime if datetime else self._metadata.datetime
+        self.exif = self._exif
         self.array: Optional[np.ndarray] = None
+
+    @property
+    def _metadata(self) -> Exif:
+        """EXIF metadata, parsed from the file on first use."""
+        if self._exif is None:
+            self._exif = Exif(self.path)
+        return self._exif
+
+    def _fill_camera_args(self, args: dict) -> dict:
+        """Complete camera constructor kwargs from EXIF where absent.
+
+        imgsz falls back to the file's pixel dimensions; fmm/sensorsz are
+        only consulted when no pixel focal length was given.
+        """
+        focal_known = args.get("f") is not None
+        wanted = {
+            "imgsz": args.get("imgsz") is None,
+            "fmm": not focal_known and args.get("fmm") is None,
+            "sensorsz": not focal_known and args.get("sensorsz") is None,
+        }
+        if not any(wanted.values()):
+            return args
+        meta = self._metadata
+        if wanted["imgsz"]:
+            args["imgsz"] = meta.imgsz or self._path_imgsz
+        if wanted["fmm"] and meta.fmm:
+            args["fmm"] = meta.fmm
+        if wanted["sensorsz"] and meta.sensorsz:
+            args["sensorsz"] = meta.sensorsz
+        return args
 
     @property
     def size(self) -> np.ndarray:
@@ -124,11 +138,9 @@ class Image:
         import matplotlib.pyplot
 
         array = self.read()
-        kwargs = {
-            "origin": "upper",
-            "extent": (0, array.shape[1], array.shape[0], 0),
-            **kwargs,
-        }
+        height, width = array.shape[:2]
+        kwargs.setdefault("origin", "upper")
+        kwargs.setdefault("extent", (0, width, height, 0))
         return matplotlib.pyplot.imshow(array, **kwargs)
 
     def set_plot_limits(self) -> None:

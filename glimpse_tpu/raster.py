@@ -77,16 +77,15 @@ class Grid:
 
     @size.setter
     def size(self, value) -> None:
-        value = np.atleast_1d(value)
-        if value.shape == (1,):
-            value = np.concatenate((value, value))
-        if value.shape != (2,):
-            raise ValueError("Grid dimensions must be scalar or (2,)")
-        if not np.issubdtype(value.dtype, np.integer):
+        flat = np.ravel(value)
+        if flat.dtype.kind not in "iu":
             raise ValueError("Grid dimensions must be integer")
-        if (value <= 0).any():
+        n = flat.size
+        if n not in (1, 2):
+            raise ValueError("Grid dimensions must be scalar or (2,)")
+        if flat.min() < 1:
             raise ValueError("Grid dimensions must be positive")
-        self._size = value
+        self._size = np.resize(flat, 2)
 
     @property
     def shape(self) -> Tuple[int, int]:
@@ -271,21 +270,17 @@ class Grid:
         """
         if not centers and not edges:
             raise ValueError("Arguments centers and edges cannot both be False")
-        origin = np.append(self.xlim[0], self.ylim[0])
-        nxy = (np.asarray(xy, dtype=float) - origin) / self.d
-        if centers and not edges:
-            nxy -= 0.5
-        elif centers and edges:
-            nxy *= 2
-        nxy = np.floor(nxy + 0.5)
+        xy = np.asarray(xy, dtype=float)
+        origin = np.array([self.xlim[0], self.ylim[0]])
+        # The snap target is a lattice {anchor + k*spacing}: cell centers
+        # (anchor offset d/2), cell edges (anchor 0), or both (spacing d/2).
+        spacing = self.d / 2 if (centers and edges) else self.d
+        anchor = origin + self.d / 2 if (centers and not edges) else origin
+        steps = np.floor((xy - anchor) / spacing + 0.5)
         if not edges and inbounds:
-            is_outer_edge = np.asarray(xy) == np.append(self.xlim[1], self.ylim[1])
-            nxy[is_outer_edge] -= 1
-        if centers and not edges:
-            nxy += 0.5
-        elif centers and edges:
-            nxy /= 2
-        return nxy * self.d + origin
+            far = np.array([self.xlim[1], self.ylim[1]])
+            steps = np.where(xy == far, steps - 1, steps)
+        return anchor + steps * spacing
 
     def snap_box(
         self,
@@ -402,19 +397,23 @@ class Grid:
         self, size: Iterable[int], overlap: Iterable[int] = (0, 0)
     ) -> Tuple[Tuple[slice, slice], ...]:
         """Slices chopping the grid into roughly `size`-sized overlapping tiles."""
-        n = np.maximum(np.round(self.size / size), 1).astype(int)
-        xi = np.floor(np.arange(self.size[0]) / np.ceil(self.size[0] / n[0]))
-        yi = np.floor(np.arange(self.size[1]) / np.ceil(self.size[1] / n[1]))
-        xends = np.insert(np.searchsorted(xi, np.unique(xi), side="right"), 0, 0)
-        yends = np.insert(np.searchsorted(yi, np.unique(yi), side="right"), 0, 0)
-        xstarts = xends.copy()
-        xstarts[1:-1] -= overlap[0]
-        ystarts = yends.copy()
-        ystarts[1:-1] -= overlap[1]
+
+        def axis_cuts(length: int, want: int, pad: int):
+            # Near-equal chunks; interior chunks reach `pad` back into their
+            # left neighbor.
+            parts = max(int(np.round(length / want)), 1)
+            chunk = int(np.ceil(length / parts))
+            ends = list(range(chunk, length, chunk)) + [length]
+            starts = [0] + [e - pad for e in ends[:-1]]
+            return list(zip(starts, ends))
+
+        nx, ny = int(self.size[0]), int(self.size[1])
+        col_spans = axis_cuts(nx, size[0], overlap[0])
+        row_spans = axis_cuts(ny, size[1], overlap[1])
         return tuple(
-            (slice(ystarts[i], yends[i + 1]), slice(xstarts[j], xends[j + 1]))
-            for i in range(len(ystarts) - 1)
-            for j in range(len(xstarts) - 1)
+            (slice(*rows), slice(*cols))
+            for rows in row_spans
+            for cols in col_spans
         )
 
 
@@ -627,24 +626,28 @@ class Raster(Grid):
         """Extract a subset raster with array indices."""
         if not isinstance(indices, tuple):
             indices = (indices, slice(None))
-        if not all(isinstance(idx, (int, slice)) for idx in indices):
+
+        def as_slice(idx):
+            if isinstance(idx, slice):
+                return idx
+            if isinstance(idx, int):
+                return slice(idx, idx + 1)
             raise IndexError("Only integers and slices are valid indices")
-        i, j = indices
-        if not isinstance(i, slice):
-            i = slice(i, i + 1)
-        if not isinstance(j, slice):
-            j = slice(j, j + 1)
-        d = self.d.copy()
-        if i.step and i.step > 1:
-            d[1] *= i.step
-        if j.step and j.step > 1:
-            d[0] *= j.step
-        x, y = self.x[j], self.y[i]
-        if len(x) < 3:
-            x = x[[0, -1]] + np.array([-0.5, 0.5]) * d[0]
-        if len(y) < 3:
-            y = y[[0, -1]] + np.array([-0.5, 0.5]) * d[1]
-        return self.__class__(self.array[i, j], x=x, y=y, datetime=self.datetime)
+
+        rows, cols = (as_slice(idx) for idx in indices)
+
+        def axis_limits(centers, cell, sl):
+            kept = centers[sl]
+            stride = sl.step if (sl.step and sl.step > 1) else 1
+            half = cell * stride / 2
+            return (kept[0] - half, kept[-1] + half)
+
+        return self.__class__(
+            self.array[rows, cols],
+            x=axis_limits(self.x, self.d[0], cols),
+            y=axis_limits(self.y, self.d[1], rows),
+            datetime=self.datetime,
+        )
 
     def copy(self) -> "Raster":
         """Copy the raster (values, limits, datetime)."""
@@ -661,11 +664,15 @@ class Raster(Grid):
         if getattr(self, "_Zf", None) is None:
             import scipy.interpolate
 
-            sign = np.sign(self.d).astype(int)
-            self._Zf = scipy.interpolate.RegularGridInterpolator(
-                (self.x[:: sign[0]], self.y[:: sign[1]]),
-                self.array.T[:: sign[0], :: sign[1]],
-            )
+            # RegularGridInterpolator wants ascending axes: flip any
+            # descending axis (and the matching value axis) first.
+            xs, ys = self.x, self.y
+            values = self.array.T
+            if self.d[0] < 0:
+                xs, values = xs[::-1], values[::-1]
+            if self.d[1] < 0:
+                ys, values = ys[::-1], values[:, ::-1]
+            self._Zf = scipy.interpolate.RegularGridInterpolator((xs, ys), values)
         return self._Zf
 
     # ---- Sampling ---- #
@@ -690,64 +697,65 @@ class Raster(Grid):
         SciPy splines on the host path). ``fill_value=None`` extrapolates.
         Reference semantics: raster.py:913-1070.
         """
-        error = ValueError("Some of the sampling coordinates are out of bounds")
+        keep = None
         if bounds_error or fill_value is not None:
-            xyin = self.inbounds_xy(xy, grid=grid)
-            if grid:
-                xout, yout = ~xyin[0], ~xyin[1]
-                if bounds_error and (xout.any() or yout.any()):
-                    raise error
-            else:
-                xyout = ~xyin
-                if bounds_error and xyout.any():
-                    raise error
-        has_fill = not bounds_error and fill_value is not None
-        dims = np.where(np.array(self.size) > 1)[0]
-        ndims = len(dims)
+            keep = self.inbounds_xy(xy, grid=grid)
+            all_in = (
+                keep[0].all() and keep[1].all() if grid else keep.all()
+            )
+            if bounds_error:
+                if not all_in:
+                    raise ValueError(
+                        "Some of the sampling coordinates are out of bounds"
+                    )
+                keep = None  # nothing to mask
         if grid:
-            x, y = np.asarray(xy[0], dtype=float), np.asarray(xy[1], dtype=float)
-            if ndims == 2:
-                samples = self._sample_grid_2d(x, y, order=order)
-            elif ndims == 1:
-                dim = dims[0]
-                z = self._sample_1d(xy[dim], dim=dim, order=order)
-                samples = np.tile(
-                    z.reshape(-1 if dim else 1, 1 if dim else -1),
-                    reps=(1 if dim else len(z), len(z) if dim else 1),
+            return self._sample_on_grid(xy, order, keep, fill_value)
+        return self._sample_at_points(
+            np.asarray(xy, dtype=float), order, keep, fill_value
+        )
+
+    @property
+    def _live_dims(self) -> np.ndarray:
+        """Indices of non-singleton axes (0 = x, 1 = y)."""
+        return np.flatnonzero(np.asarray(self.size) > 1)
+
+    def _sample_at_points(self, xy, order, keep, fill_value) -> np.ndarray:
+        live = self._live_dims
+        if len(live) == 2:
+            if order in (0, 1, 3):
+                rows, cols = self._xy_to_fractional_rowcol(xy)
+                values = sampling_ops.sample_grid(
+                    self.array.astype(float), rows, cols, order=order, xp=np
                 )
             else:
-                samples = np.full((len(y), len(x)), self.array.flat[0], dtype=float)
-            if has_fill:
-                samples[yout, :] = fill_value
-                samples[:, xout] = fill_value
+                values = self._scipy_point_sample(xy, order)
+        elif len(live) == 1:
+            dim = int(live[0])
+            values = self._sample_1d(xy[:, dim], dim=dim, order=order)
         else:
-            xy = np.asarray(xy, dtype=float)
-            if has_fill:
-                samples = np.full(len(xy), fill_value, dtype=float)
-            if ndims == 2:
-                if order in (0, 1, 3):
-                    rows, cols = self._xy_to_fractional_rowcol(xy)
-                    vals = sampling_ops.sample_grid(
-                        self.array.astype(float), rows, cols, order=order, xp=np
-                    )
-                else:
-                    vals = self._scipy_point_sample(xy, order)
-                if has_fill:
-                    samples[xyin] = vals[xyin]
-                else:
-                    samples = vals
-            elif ndims == 1:
-                dim = dims[0]
-                if has_fill:
-                    samples[xyin] = self._sample_1d(xy[xyin, dim], dim=dim, order=order)
-                else:
-                    samples = self._sample_1d(xy[:, dim], dim=dim, order=order)
-            else:
-                if has_fill:
-                    samples[xyin] = self.array.flat[0]
-                else:
-                    samples = np.full(len(xy), self.array.flat[0], dtype=float)
-        return samples
+            values = np.full(len(xy), self.array.flat[0], dtype=float)
+        if keep is None:
+            return values
+        return np.where(keep, values, fill_value)
+
+    def _sample_on_grid(self, xy, order, keep, fill_value) -> np.ndarray:
+        x = np.asarray(xy[0], dtype=float)
+        y = np.asarray(xy[1], dtype=float)
+        live = self._live_dims
+        if len(live) == 2:
+            out = self._sample_grid_2d(x, y, order=order)
+        elif len(live) == 1:
+            dim = int(live[0])
+            line = self._sample_1d((x, y)[dim], dim=dim, order=order)
+            column_shaped = line.reshape((-1, 1) if dim else (1, -1))
+            out = np.broadcast_to(column_shaped, (len(y), len(x))).copy()
+        else:
+            out = np.full((len(y), len(x)), self.array.flat[0], dtype=float)
+        if keep is not None:
+            out[~keep[1], :] = fill_value
+            out[:, ~keep[0]] = fill_value
+        return out
 
     def _scipy_point_sample(self, xy, order: int) -> np.ndarray:
         import scipy.interpolate
@@ -826,13 +834,13 @@ class Raster(Grid):
             self.xlim = new_xlim
             self.ylim = new_ylim
         if zlim is not None:
-            outbounds = (self.array < min(zlim)) | (self.array > max(zlim))
-            if np.count_nonzero(outbounds) and not issubclass(
-                self.array.dtype.type, np.floating
-            ):
-                warnings.warn("array cast to float to accommodate NaN")
-                self.array = self.array.astype(float)
-            self.array[outbounds] = np.nan
+            lo, hi = min(zlim), max(zlim)
+            clipped = (self.array < lo) | (self.array > hi)
+            if clipped.any():
+                if self.array.dtype.kind != "f":
+                    warnings.warn("array cast to float to accommodate NaN")
+                    self.array = self.array.astype(float)
+                self.array = np.where(clipped, np.nan, self.array)
 
     def resize(self, scale: Number, order: int = 1) -> None:
         """Resize values by a scale factor (limits unchanged)."""
@@ -894,13 +902,10 @@ class Raster(Grid):
         fill: bool = False,
     ) -> None:
         """Maximum filter then Gaussian smoothing (crevasse removal)."""
-        if callable(mask):
-            mask = mask(self.array)
+        resolved = mask(self.array) if callable(mask) else mask
+        peaks = helpers.maximum_filter(self.array, mask=resolved, fill=fill, **maximum)
         self.array = helpers.gaussian_filter(
-            helpers.maximum_filter(self.array, **maximum, mask=mask, fill=fill),
-            **gaussian,
-            mask=mask,
-            fill=fill,
+            peaks, mask=resolved, fill=fill, **gaussian
         )
 
     def _correction_tuple(self, correction) -> Optional[Tuple[float, float]]:
@@ -1022,13 +1027,11 @@ class Raster(Grid):
         """Plot with matplotlib, extent in world coordinates."""
         import matplotlib.pyplot
 
-        if array is None:
-            array = self.array
-        return matplotlib.pyplot.imshow(
-            array,
-            extent=(self.xlim[0], self.xlim[1], self.ylim[1], self.ylim[0]),
-            **kwargs,
-        )
+        data = self.array if array is None else array
+        left, right = self.xlim
+        top, bottom = self.ylim
+        kwargs.setdefault("extent", (left, right, bottom, top))
+        return matplotlib.pyplot.imshow(data, **kwargs)
 
 
 class RasterInterpolant:
@@ -1084,15 +1087,17 @@ class RasterInterpolant:
 
     def _read_mean(self, index, d=None, xlim=None, ylim=None, zlim=None,
                    fun: Callable = None, **kwargs) -> Raster:
-        xi = self.x[index]
-        obj = self.means[index]
-        raster = self._as_raster(obj, xi, d=d, xlim=xlim, ylim=ylim)
-        if (zlim is not None or fun is not None) and raster is obj:
-            raster = raster.copy()
+        source = self.means[index]
+        raster = self._as_raster(source, self.x[index], d=d, xlim=xlim, ylim=ylim)
+        mutators = []
         if zlim is not None:
-            raster.crop(zlim=zlim)
+            mutators.append(lambda r: r.crop(zlim=zlim))
         if fun is not None:
-            fun(raster, **kwargs)
+            mutators.append(lambda r: fun(r, **kwargs))
+        if mutators and raster is source:
+            raster = raster.copy()  # never mutate the caller's raster in place
+        for mutate in mutators:
+            mutate(raster)
         return raster
 
     def _read_sigma(self, index, d=None, xlim=None, ylim=None) -> Raster:
@@ -1102,38 +1107,46 @@ class RasterInterpolant:
 
     def nearest(self, xi, extrapolate: bool = False) -> Tuple[int, int]:
         """Indices of the two nearest rasters (bracketing unless extrapolate)."""
-        dx = self.x - xi
-        zero = type(dx[0])(0)
+        offsets = self.x - xi
+        zero = type(offsets[0])(0)
+        candidates = range(len(offsets))
         if extrapolate:
-            i, j = np.abs(dx).argsort()[:2]
+            pair = sorted(candidates, key=lambda k: abs(offsets[k]))[:2]
         else:
-            before = np.where(dx <= zero)[0]
-            after = np.where(dx >= zero)[0]
-            if not before.size or not after.size:
+            at_or_before = [k for k in candidates if offsets[k] <= zero]
+            at_or_after = [k for k in candidates if offsets[k] >= zero]
+            if not (at_or_before and at_or_after):
                 raise ValueError("Not bounded on both sides by a Raster")
-            i = before[np.argmin(abs(dx[before]))]
-            j = after[np.argmin(dx[after])]
-        ij = sorted([i, j], key=lambda index: self.x[index])
-        return tuple(ij)
+            pair = [
+                min(at_or_before, key=lambda k: abs(offsets[k])),
+                min(at_or_after, key=lambda k: offsets[k]),
+            ]
+        lo, hi = sorted(pair, key=lambda k: self.x[k])
+        return lo, hi
 
     def _interpolate(self, means, x, xi, sigmas=None):
-        dz = means[1].array - means[0].array
-        dx = x[1] - x[0]
-        scale = (xi - x[0]) / dx
-        z = means[0].array + dz * scale
-        t = xi if isinstance(xi, datetime_module.datetime) else None
-        raster = means[0].__class__(z, x=means[0].xlim, y=means[0].ylim, datetime=t)
-        if sigmas is not None:
-            z_var = sigmas[0].array ** 2 + scale ** 2 * (
-                sigmas[0].array ** 2 + sigmas[1].array ** 2
+        x0, x1 = x
+        w = (xi - x0) / (x1 - x0)
+        stamp = xi if isinstance(xi, datetime_module.datetime) else None
+        template = means[0]
+
+        def wrap(values):
+            return template.__class__(
+                values, x=template.xlim, y=template.ylim, datetime=stamp
             )
-            nearest_dx = np.min(np.abs(np.subtract(xi, x)))
-            zi_var = ((1 / 3) * dz * (nearest_dx / dx)) ** 2
-            sigma = raster.__class__(
-                np.sqrt(z_var + zi_var), x=means[0].xlim, y=means[0].ylim, datetime=t
-            )
-            return raster, sigma
-        return raster
+
+        step = means[1].array - template.array
+        blended = wrap(template.array + w * step)
+        if sigmas is None:
+            return blended
+        # Endpoint variance propagation plus an interpolation-uncertainty
+        # term (1/3 of the elevation change, scaled by proximity to the
+        # nearer endpoint) — reference raster.py:1673-1700.
+        var0, var1 = sigmas[0].array ** 2, sigmas[1].array ** 2
+        propagated = var0 + w ** 2 * (var0 + var1)
+        near_frac = min(abs(xi - x0), abs(x1 - xi)) / (x1 - x0)
+        wiggle = (step * (near_frac / 3)) ** 2
+        return blended, wrap(np.sqrt(propagated + wiggle))
 
     def __call__(
         self,
@@ -1148,32 +1161,41 @@ class RasterInterpolant:
         **kwargs,
     ):
         """Interpolate the raster (and optionally sigma) at coordinate ``xi``."""
-        ij = self.nearest(xi, extrapolate=extrapolate)
-        grids = [self._mean_grid(k) for k in ij]
+        lo, hi = self.nearest(xi, extrapolate=extrapolate)
+        grids = (self._mean_grid(lo), self._mean_grid(hi))
         if d is None:
-            d = np.max(np.abs(np.stack([grid.d for grid in grids])))
-        if xlim is None:
-            xlim = (-np.inf, np.inf)
-        if ylim is None:
-            ylim = (-np.inf, np.inf)
-        boxes = [grid.box2d for grid in grids]
-        boxes.append([min(xlim), min(ylim), max(xlim), max(ylim)])
-        box = helpers.intersect_boxes(boxes)
-        xlim, ylim = box[0::2], box[1::2]
-        means = [
-            self._read_mean(k, d=d, xlim=xlim, ylim=ylim, zlim=zlim, fun=fun, **kwargs)
-            for k in ij
-        ]
-        if means[0].grid != means[1].grid:
-            if means[1] is self.means[ij[1]]:
-                means[1] = means[1].copy()
-            means[1].resample(means[0])
+            d = max(float(np.abs(grid.d).max()) for grid in grids)
+        # Common footprint: both grids intersected with the requested window.
+        wx = (-np.inf, np.inf) if xlim is None else sorted(xlim)
+        wy = (-np.inf, np.inf) if ylim is None else sorted(ylim)
+        common = helpers.intersect_boxes(
+            [grids[0].box2d, grids[1].box2d, (wx[0], wy[0], wx[1], wy[1])]
+        )
+        window = dict(d=d, xlim=common[0::2], ylim=common[1::2])
+
+        def align(pair, originals):
+            # Resample the later raster onto the earlier one's grid, never
+            # mutating a raster owned by this interpolant.
+            first, second = pair
+            if first.grid != second.grid:
+                if second is originals:
+                    second = second.copy()
+                second.resample(first)
+            return first, second
+
+        means = align(
+            tuple(
+                self._read_mean(k, zlim=zlim, fun=fun, **window, **kwargs)
+                for k in (lo, hi)
+            ),
+            self.means[hi],
+        )
+        sigmas = None
         if return_sigma:
-            sigmas = [self._read_sigma(k, d=d, xlim=xlim, ylim=ylim) for k in ij]
-            if sigmas[0].grid != sigmas[1].grid:
-                if self.sigmas is not None and sigmas[1] is self.sigmas[ij[1]]:
-                    sigmas[1] = sigmas[1].copy()
-                sigmas[1].resample(sigmas[0])
-        else:
-            sigmas = None
-        return self._interpolate(means=means, sigmas=sigmas, x=self.x[list(ij)], xi=xi)
+            sigmas = align(
+                tuple(self._read_sigma(k, **window) for k in (lo, hi)),
+                None if self.sigmas is None else self.sigmas[hi],
+            )
+        return self._interpolate(
+            means=means, sigmas=sigmas, x=(self.x[lo], self.x[hi]), xi=xi
+        )
