@@ -316,20 +316,28 @@ def read(
 
 def svg(*children: ET.Element, **attrib: str) -> ET.Element:
     """Create an ``svg`` element (width/height default to the last image child)."""
-    e = ET.Element("svg")
-    e.extend(children)
-    if "width" not in attrib and "height" not in attrib:
-        images = list(e.iter("image"))
-        if images:
-            width, height = images[-1].get("width"), images[-1].get("height")
-            if width and height:
-                attrib = {"height": height, "width": width, **attrib}
-    e.attrib = {
-        **attrib,
+    root = ET.Element("svg")
+    root.extend(children)
+    if not ({"width", "height"} & attrib.keys()):
+        size = _last_image_size(root)
+        if size:
+            attrib = {"height": size[1], "width": size[0], **attrib}
+    namespaces = {
         "xmlns": "http://www.w3.org/2000/svg",
         "xmlns:xlink": "http://www.w3.org/1999/xlink",
     }
-    return e
+    root.attrib = {**attrib, **namespaces}
+    return root
+
+
+def _last_image_size(root: ET.Element) -> Optional[Tuple[str, str]]:
+    """(width, height) of the last ``image`` descendant, if fully specified."""
+    size = None
+    for node in root.iter("image"):
+        w, h = node.get("width"), node.get("height")
+        if w and h:
+            size = (w, h)
+    return size
 
 
 def g(*children: ET.Element, **attrib: str) -> ET.Element:

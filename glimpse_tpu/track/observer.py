@@ -35,19 +35,18 @@ class Observer:
         sigma: float = 0.3,
         cache: bool = True,
     ) -> None:
-        images = list(images)
-        if len(images) < 2:
+        self.images = list(images)
+        if len(self.images) < 2:
             raise ValueError("Images are not two or greater")
-        datetimes = []
-        for i, img in enumerate(images):
-            if img.datetime is None:
+        times: List[datetime.datetime] = []
+        for i, img in enumerate(self.images):
+            stamp = img.datetime
+            if stamp is None:
                 raise ValueError(f"Image {i} is missing datetime")
-            datetimes.append(img.datetime)
-        deltas = np.array([dt.total_seconds() for dt in np.diff(datetimes)])
-        if any(deltas <= 0):
-            raise ValueError("Image datetimes are not stricly increasing")
-        self.images = images
-        self.datetimes = np.array(datetimes)
+            if times and stamp <= times[-1]:
+                raise ValueError("Image datetimes are not strictly increasing")
+            times.append(stamp)
+        self.datetimes = np.array(times)
         self.sigma = sigma
         self.cache = cache
 
@@ -57,15 +56,17 @@ class Observer:
         maxdt: datetime.timedelta = datetime.timedelta(0),
     ) -> int:
         """Index of an image, by identity or nearest datetime within maxdt."""
-        if isinstance(value, datetime.datetime):
-            dts = np.abs(value - self.datetimes)
-            index = int(np.argmin(dts))
-            if maxdt is not None and dts[index] > abs(maxdt):
+        if not isinstance(value, datetime.datetime):
+            return self.images.index(value)
+        gaps = np.abs(self.datetimes - value)
+        best = int(gaps.argmin())
+        if maxdt is not None:
+            tolerance = abs(maxdt)
+            if gaps[best] > tolerance:
                 raise ValueError(
-                    f"Nearest image out of range by {dts[index] - abs(maxdt)}"
+                    f"Nearest image out of range by {gaps[best] - tolerance}"
                 )
-            return index
-        return self.images.index(value)
+        return best
 
     def xyz_to_uv(self, xyz: np.ndarray, img: int) -> np.ndarray:
         """Project world coordinates into an image of the sequence."""
@@ -153,22 +154,22 @@ class Observer:
         The sequence-parallel decomposition: chunks are processed
         independently and their tracks fused (``Tracks.from_multiple``).
         """
+        first, last = self.datetimes[0], self.datetimes[-1]
         if np.iterable(n):
-            breaks = np.unique(np.hstack((n, self.datetimes[[0, -1]])))
+            cuts = np.unique(np.hstack((n, [first, last])))
         else:
-            dt = (self.datetimes[-1] - self.datetimes[0]) / n
-            breaks = helpers.datetime_range(self.datetimes[0], self.datetimes[-1], dt)
-        observers = []
-        start = breaks[0]
-        for i in range(len(breaks) - 1):
-            observer = self.subset(start=start, end=breaks[i + 1])
+            cuts = helpers.datetime_range(first, last, (last - first) / n)
+        chunks = []
+        begin = cuts[0]
+        for stop in cuts[1:]:
+            piece = self.subset(start=begin, end=stop)
+            chunks.append(piece)
             if overlap:
-                lag = min(overlap, len(observer.datetimes))
-                start = observer.datetimes[-lag]
+                back = min(overlap, len(piece.datetimes))
+                begin = piece.datetimes[-back]
             else:
-                start = observer.datetimes[-1] + datetime.timedelta(microseconds=1)
-            observers.append(observer)
-        return observers
+                begin = piece.datetimes[-1] + datetime.timedelta(microseconds=1)
+        return chunks
 
     # ---- Plotting ---- #
 
@@ -188,13 +189,12 @@ class Observer:
         import matplotlib.patches
         import matplotlib.pyplot
 
-        if axes is None:
-            axes = matplotlib.pyplot.gca()
-        return axes.add_patch(
-            matplotlib.patches.Rectangle(
-                xy=box[0:2], width=box[2] - box[0], height=box[3] - box[1], **kwargs
-            )
+        left, top, right, bottom = box[0], box[1], box[2], box[3]
+        rect = matplotlib.patches.Rectangle(
+            (left, top), right - left, bottom - top, **kwargs
         )
+        target = axes if axes is not None else matplotlib.pyplot.gca()
+        return target.add_patch(rect)
 
     def animate(
         self,
@@ -213,51 +213,67 @@ class Observer:
             uv = self.images[0].size / 2
         if frames is None:
             frames = np.arange(len(self.images))
-        xyz = self.images[frames[0]].uv_to_xyz(np.atleast_2d(uv))
-        halfsize = (size[0] * 0.5, size[1] * 0.5)
-        fig, ax = matplotlib.pyplot.subplots(ncols=2, **subplots)
-        box = self.tile_box(uv, size=size, img=0)
-        tile = self.extract_tile(img=frames[0], box=box)
-        im = [self.plot_tile(tile=tile, box=box, axes=axes) for axes in ax]
-        pt = [axis.plot(uv[0], uv[1], marker=".", color="red")[0] for axis in ax]
-        txt = ax[0].text(
+        anchor_xyz = self.images[frames[0]].uv_to_xyz(np.atleast_2d(uv))
+        half = np.multiply(size, 0.5)
+        fig, (ax_follow, ax_fixed) = matplotlib.pyplot.subplots(ncols=2, **subplots)
+        box0 = self.tile_box(uv, size=size, img=0)
+        tile0 = self.extract_tile(img=frames[0], box=box0)
+        panels = [
+            self.plot_tile(tile=tile0, box=box0, axes=a) for a in (ax_follow, ax_fixed)
+        ]
+        markers = [
+            a.plot(uv[0], uv[1], marker=".", color="red")[0]
+            for a in (ax_follow, ax_fixed)
+        ]
+        caption = ax_follow.text(
             0.5, 0.95, "", color="white", horizontalalignment="center",
-            transform=ax[0].transAxes,
+            transform=ax_follow.transAxes,
         )
-        ax[1].set_xlim(uv[0] - halfsize[0], uv[0] + halfsize[0])
-        ax[1].set_ylim(uv[1] + halfsize[1], uv[1] - halfsize[0])
+        ax_fixed.set_xlim(uv[0] - half[0], uv[0] + half[0])
+        ax_fixed.set_ylim(uv[1] + half[1], uv[1] - half[1])
 
         def update(i: int) -> list:
-            puv = self.images[i].xyz_to_uv(xyz)[0]
-            box = np.vstack([puv - halfsize, puv + halfsize]).ravel()
-            inbounds = self.images[i].inbounds(helpers.box_to_polygon(box))
-            if np.any(inbounds):
-                if not np.all(inbounds):
-                    box = helpers.intersect_boxes(
-                        (box, np.concatenate(([0, 0], self.images[i].size)))
-                    )
-                grid = Grid(self.images[i].size)
-                box = grid.snap_xy(
-                    helpers.unravel_box(box), centers=False, edges=True
-                ).ravel()
-                tile = self.extract_tile(img=i, box=box.astype(int))
+            puv = self.images[i].xyz_to_uv(anchor_xyz)[0]
+            box = self._clipped_pixel_box(i, puv, half)
+            if box is None:
+                tile = np.full((size[1], size[0], 3), 255, dtype=np.uint8)
+                box = np.concatenate([puv - half, puv + half])
             else:
-                tile = np.zeros((size[1], size[0], 3), dtype=np.uint8) + 255
-            for j in range(2):
-                im[j].set_array(tile)
-                im[j].set_extent((box[0], box[2], box[3], box[1]))
-                pt[j].set_xdata([puv[0]])
-                pt[j].set_ydata([puv[1]])
-            ax[0].set_xlim(puv[0] - halfsize[0], puv[0] + halfsize[0])
-            ax[0].set_ylim(puv[1] + halfsize[1], puv[1] - halfsize[0])
-            path = getattr(self.images[i], "path", None)
-            label = helpers.strip_path(path) if path else str(self.datetimes[i])
-            txt.set_text(f"{i} : {label}")
-            return im + pt + [txt]
+                tile = self.extract_tile(img=i, box=box.astype(int))
+            for panel, marker in zip(panels, markers):
+                panel.set_array(tile)
+                panel.set_extent((box[0], box[2], box[3], box[1]))
+                marker.set_xdata([puv[0]])
+                marker.set_ydata([puv[1]])
+            ax_follow.set_xlim(puv[0] - half[0], puv[0] + half[0])
+            ax_follow.set_ylim(puv[1] + half[1], puv[1] - half[1])
+            caption.set_text(f"{i} : {self._frame_label(i)}")
+            return panels + markers + [caption]
 
         return matplotlib.animation.FuncAnimation(
             fig, update, frames=frames, interval=interval, blit=True, **animation
         )
+
+    def _clipped_pixel_box(self, img: int, center, half) -> "np.ndarray":
+        """Pixel-snapped box around ``center``, clipped to the frame.
+
+        Returns None when the requested box lies entirely outside the image.
+        """
+        want = np.concatenate([center - half, center + half])
+        visible = self.images[img].inbounds(helpers.box_to_polygon(want))
+        if not visible.any():
+            return None
+        if not visible.all():
+            frame = np.concatenate(([0, 0], self.images[img].size))
+            want = helpers.intersect_boxes((want, frame))
+        grid = Grid(self.images[img].size)
+        return grid.snap_xy(
+            helpers.unravel_box(want), centers=False, edges=True
+        ).ravel()
+
+    def _frame_label(self, img: int) -> str:
+        path = getattr(self.images[img], "path", None)
+        return helpers.strip_path(path) if path else str(self.datetimes[img])
 
     def track(
         self,
@@ -305,9 +321,7 @@ class Observer:
             track_line.set_ydata(track_uv[:, 1])
             pt[1].set_xdata([uv[0]])
             pt[1].set_ydata([uv[1]])
-            path = getattr(self.images[i], "path", None)
-            label = helpers.strip_path(path) if path else str(self.datetimes[i])
-            txt.set_text(f"{i} : {label}")
+            txt.set_text(f"{i} : {self._frame_label(i)}")
             return im + [track_line] + pt + [txt]
 
         return matplotlib.animation.FuncAnimation(

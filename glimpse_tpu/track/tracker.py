@@ -27,6 +27,40 @@ from .tracks import Tracks
 Number = Union[int, float]
 
 
+class _TrackRecord:
+    """Per-timestep storage for one track's filter outputs."""
+
+    def __init__(
+        self, n_times: int, n_particles: int, covariances: bool, particles: bool
+    ) -> None:
+        self.full_covariances = covariances
+        self.keep_particles = particles
+        self.means = np.full((n_times, 6), np.nan)
+        spread_shape = (n_times, 6, 6) if covariances else (n_times, 6)
+        self.spread = np.full(spread_shape, np.nan)
+        if particles:
+            self.particles = np.full((n_times, n_particles, 6), np.nan)
+            self.weights = np.full((n_times, n_particles), np.nan)
+
+    def __call__(self, i: int, filt: "Tracker") -> None:
+        self.means[i] = filt.particle_mean
+        if self.full_covariances:
+            self.spread[i] = filt.particle_covariance
+        else:
+            self.spread[i] = filt.compute_particle_sigma(mean=self.means[i])
+        if self.keep_particles:
+            self.particles[i] = filt.particles
+            self.weights[i] = filt.weights
+
+    def results(self, error, noted_warnings, reduce_particles) -> list:
+        out = [self.means, self.spread, error, noted_warnings]
+        if reduce_particles:
+            out.append(reduce_particles(self.particles, self.weights))
+        elif self.keep_particles:
+            out += [self.particles, self.weights]
+        return out
+
+
 class Tracker:
     """Estimate trajectories of world points through time.
 
@@ -102,18 +136,19 @@ class Tracker:
 
     def update_weights(self, imgs: Iterable[Optional[int]], motion_model: Motion = None) -> None:
         """Multiply in observation likelihoods (all observers + motion prior)."""
-        log_likelihoods = [
-            self.compute_observer_log_likelihoods(obs, img)
-            for obs, img in enumerate(imgs)
-        ]
+        total = None
+
+        def accumulate(term):
+            nonlocal total
+            if term is not None:
+                total = term if total is None else total + term
+
+        for obs, img in enumerate(imgs):
+            accumulate(self.compute_observer_log_likelihoods(obs, img))
         if motion_model:
-            log_likelihoods.append(
-                motion_model.compute_log_likelihoods(self.particles)
-            )
-        log_likelihoods = [ll for ll in log_likelihoods if ll is not None]
-        if log_likelihoods:
-            likelihoods = np.exp(-sum(log_likelihoods))
-            self.weights = likelihoods + 1e-300
+            accumulate(motion_model.compute_log_likelihoods(self.particles))
+        if total is not None:
+            self.weights = np.exp(-total) + 1e-300
 
     def resample_particles(self, method: str = None) -> None:
         """Prune unlikely particles, reproduce likely ones."""
@@ -154,19 +189,21 @@ class Tracker:
         """Build an observer's template around the current particle mean."""
         if self.templates is None:
             self.templates = [None] * len(self.observers)
-        xyz = self.particle_mean[None, 0:3]
-        uv = self.observers[obs].xyz_to_uv(xyz, img=img).ravel()
-        box = self.observers[obs].tile_box(uv, size=tile_size, img=img)
-        template = {
+        observer = self.observers[obs]
+        center_uv = observer.xyz_to_uv(self.particle_mean[None, 0:3], img=img).ravel()
+        box = observer.tile_box(center_uv, size=tile_size, img=img)
+        tile, histogram = self.extract_tile(
+            obs=obs, img=img, box=box, return_histogram=True
+        )
+        box_center = box.reshape(2, 2).mean(axis=0)
+        self.templates[obs] = {
             "obs": obs,
             "img": img,
             "box": box,
-            "duv": uv - box.reshape(2, -1).mean(axis=0),
+            "duv": center_uv - box_center,  # subpixel offset of the target
+            "tile": tile,
+            "histogram": histogram,
         }
-        template["tile"], template["histogram"] = self.extract_tile(
-            obs=obs, img=img, box=box, return_histogram=True
-        )
-        self.templates[obs] = template
 
     def compute_observer_log_likelihoods(self, obs: int, img: Optional[int]) -> Optional[np.ndarray]:
         """Per-particle negative log likelihood from one observer's image.
@@ -178,43 +215,49 @@ class Tracker:
         """
         if img is None:
             return None
+        observer = self.observers[obs]
         template = self.templates[obs]
         size = np.asarray(template["tile"].shape[0:2][::-1])
-        uv = self.observers[obs].xyz_to_uv(self.particles[:, 0:3], img=img)
-        halfsize = size * 0.5
-        box = np.vstack((uv.min(axis=0) - halfsize, uv.max(axis=0) + halfsize))
-        # Ensure the SSE surface is large enough for spline interpolation.
-        ky = self.interpolation.get("ky", 3)
-        ncols = ky - (np.diff(box[:, 0]) - size[0])
-        if np.all(ncols > 0):
-            box[:, 0] += np.hstack((-ncols, ncols)) * 0.5
-        kx = self.interpolation.get("kx", 3)
-        nrows = kx - (np.diff(box[:, 1]) - size[1])
-        if np.all(nrows > 0):
-            box[:, 1] += np.hstack((-nrows, nrows)) * 0.5
-        box = np.vstack((np.floor(box[0, :]), np.ceil(box[1, :]))).astype(int)
-        if not all(self.observers[obs].images[img].inbounds(box)):
+        uv = observer.xyz_to_uv(self.particles[:, 0:3], img=img)
+        box = self._search_box(uv, size)
+        if not all(observer.images[img].inbounds(box.reshape(2, 2))):
             warnings.warn(
                 "Particles too close to or beyond image bounds, skipping image"
             )
             return None
-        box = box.ravel()
         search_tile = self.extract_tile(
             obs=obs, img=img, box=box, histogram=template["histogram"]
         )
         sse = ncc.sse_map(
             search_tile.astype(np.float32), template["tile"].astype(np.float32), xp=np
         )
-        sse = sse * (1 / (size[0] * size[1]))
+        sse = sse / size.prod()
         # SSE surface extent: shrunk by template half-size minus half a pixel,
         # shifted by the template's subpixel offset.
-        box_edge = halfsize - 0.5
-        sse_box = box + np.concatenate((box_edge, -box_edge))
-        sse_box = sse_box + np.tile(template["duv"], 2)
-        sampled = self.observers[obs].sample_tile(
+        margin = size * 0.5 - 0.5
+        sse_box = box + np.concatenate((margin, -margin)) + np.tile(template["duv"], 2)
+        sampled = observer.sample_tile(
             uv, tile=sse, box=sse_box, grid=False, **self.interpolation
         )
-        return sampled * (1 / (2 * self.observers[obs].sigma ** 2))
+        return sampled / (2 * observer.sigma ** 2)
+
+    def _search_box(self, uv: np.ndarray, template_size: np.ndarray) -> np.ndarray:
+        """Integer search box spanning the particle cloud plus the template.
+
+        The box is grown (when possible) so the SSE surface is at least as
+        large as the spline-interpolation support (reference
+        tracker.py:579-595).
+        """
+        half = template_size * 0.5
+        lo = uv.min(axis=0) - half
+        hi = uv.max(axis=0) + half
+        support = np.array(
+            [self.interpolation.get("ky", 3), self.interpolation.get("kx", 3)]
+        )
+        deficit = support - ((hi - lo) - template_size)
+        grow = np.where(deficit > 0, deficit * 0.5, 0.0)
+        lo, hi = lo - grow, hi + grow
+        return np.concatenate((np.floor(lo), np.ceil(hi))).astype(int)
 
     # ---- Datetime matching ---- #
 
@@ -225,21 +268,25 @@ class Tracker:
     ) -> np.ndarray:
         """Validate tracking datetimes (monotonic, unique, observer-matched)."""
         datetimes = np.asarray(datetimes)
-        monotonic = (datetimes[1:] >= datetimes[:-1]).all() or (
-            datetimes[1:] <= datetimes[:-1]
-        ).all()
-        if not monotonic:
+        zero = datetime.timedelta(0)
+        steps = np.diff(datetimes)
+        ascending = not (steps < zero).any()
+        descending = not (steps > zero).any()
+        if not (ascending or descending):
             raise ValueError("Datetimes must be monotonic")
-        selected = np.concatenate(((True,), datetimes[1:] != datetimes[:-1]))
-        if not all(selected):
+        unique = np.concatenate(([True], steps != zero))
+        if not unique.all():
             warnings.warn("Dropping duplicate datetimes")
-            datetimes = datetimes[selected]
-        distances = helpers.pairwise_distance_datetimes(datetimes, self.datetimes)
-        selected = distances.min(axis=1) <= abs(maxdt.total_seconds())
-        if not all(selected):
+            datetimes = datetimes[unique]
+        tolerance = abs(maxdt.total_seconds())
+        gap_to_observers = helpers.pairwise_distance_datetimes(
+            datetimes, self.datetimes
+        ).min(axis=1)
+        matched = gap_to_observers <= tolerance
+        if not matched.all():
             warnings.warn("Dropping datetimes not matching any Observers")
-            datetimes = datetimes[selected]
-        if len(datetimes) < 2:
+            datetimes = datetimes[matched]
+        if datetimes.size < 2:
             raise ValueError("Fewer than two valid datetimes")
         return datetimes
 
@@ -287,143 +334,144 @@ class Tracker:
         """
         if reduce_particles:
             return_particles = True
-        params = {
+        call_params = {
             "datetimes": datetimes, "maxdt": maxdt, "tile_size": tile_size,
             "observer_mask": observer_mask,
             "return_covariances": return_covariances,
             "return_particles": return_particles, "parallel": parallel,
         }
         motion_models = list(motion_models)
-        time_unit = motion_models[0].time_unit
-        for model in motion_models[1:]:
-            if model.time_unit != time_unit:
-                raise ValueError("Motion models must have equal time units")
+        time_units = {model.time_unit for model in motion_models}
+        if len(time_units) > 1:
+            raise ValueError("Motion models must have equal time units")
         self.reset()
-        ntracks = len(motion_models)
-        raise_errors = ntracks < 2
-        parallel = helpers._parse_parallel(parallel)
+        n_tracks = len(motion_models)
+        n_workers = helpers._parse_parallel(parallel)
         if datetimes is None:
             datetimes = self.datetimes
         else:
             datetimes = self.parse_datetimes(datetimes=datetimes, maxdt=maxdt)
         if observer_mask is None:
-            observer_mask = np.ones((ntracks, len(self.observers)), dtype=bool)
-        matching_images = self.match_datetimes(datetimes=datetimes, maxdt=maxdt)
-        template_indices = np.not_equal(matching_images, None).argmax(axis=0)
-        if ntracks > 1:
-            for i, observer in enumerate(self.observers):
-                if observer.cache:
-                    index = [img for img in matching_images[:, i] if img is not None]
-                    observer.cache_images(index=index)
-        ntimes = len(datetimes)
-        dts = np.diff(datetimes)
+            observer_mask = np.ones((n_tracks, len(self.observers)), dtype=bool)
+        frame_table = self.match_datetimes(datetimes=datetimes, maxdt=maxdt)
+        # First timestep at which each observer has a matching image: where
+        # templates get (re)built.
+        template_rows = np.not_equal(frame_table, None).argmax(axis=0)
+        if n_tracks > 1:
+            self._warm_image_caches(frame_table)
+        steps = np.diff(datetimes)
+        contain_faults = n_tracks > 1
 
-        def process(motion_model: Motion, obs_mask: np.ndarray, worker: "Tracker") -> list:
-            """Run one track on a private Tracker clone (thread-safe: the
-            reference relied on fork isolation for its shared state)."""
-            means = np.full((ntimes, 6), np.nan)
-            if return_covariances:
-                sigmas = np.full((ntimes, 6, 6), np.nan)
-            else:
-                sigmas = np.full((ntimes, 6), np.nan)
-            if return_particles:
-                all_particles = np.full((ntimes, motion_model.n, 6), np.nan)
-                all_weights = np.full((ntimes, motion_model.n), np.nan)
+        def job(motion_model: Motion, obs_mask: np.ndarray, clone: "Tracker") -> list:
+            # Each job runs on a private Tracker clone (the reference relied
+            # on fork isolation for its mutable filter state).
+            record = _TrackRecord(
+                n_times=len(datetimes),
+                n_particles=motion_model.n,
+                covariances=return_covariances,
+                particles=return_particles,
+            )
             error = None
-            caught_warnings = None
+            noted_warnings = None
             try:
-                with warnings.catch_warnings(record=True) as caught:
-                    observed = np.not_equal(matching_images[:, obs_mask], None).any(
-                        axis=1
+                with warnings.catch_warnings(record=True) as noted:
+                    clone._run_filter(
+                        motion_model, obs_mask, frame_table, template_rows,
+                        steps, tile_size, record,
                     )
-                    first = int(np.argmax(observed))
-                    last = len(observed) - 1 - int(np.argmax(observed[::-1]))
-                    for i in range(first, last + 1):
-                        if i == first:
-                            worker.particles = motion_model.initialize_particles()
-                            worker.test_particles()
-                            worker.initialize_weights()
-                        else:
-                            motion_model.evolve_particles(worker.particles, dt=dts[i - 1])
-                            worker.test_particles()
-                        at_template = obs_mask & (template_indices == i)
-                        for obs in np.nonzero(at_template)[0]:
-                            worker.initialize_template(
-                                obs=obs,
-                                img=matching_images[i][obs],
-                                tile_size=tile_size,
-                            )
-                        if i > first:
-                            imgs = [
-                                img if m else None
-                                for img, m in zip(matching_images[i], obs_mask)
-                            ]
-                            worker.update_weights(imgs=imgs, motion_model=motion_model)
-                            worker.resample_particles()
-                        means[i] = worker.particle_mean
-                        if return_covariances:
-                            sigmas[i] = worker.particle_covariance
-                        else:
-                            sigmas[i] = worker.compute_particle_sigma(mean=means[i])
-                        if return_particles:
-                            all_particles[i] = worker.particles
-                            all_weights[i] = worker.weights
-                if caught:
-                    caught_warnings = tuple(caught)
-            except Exception as e:
-                if raise_errors:
+                if noted:
+                    noted_warnings = tuple(noted)
+            except Exception as exc:
+                if not contain_faults:
                     raise
                 # Tracebacks don't pickle; store the formatted text.
-                error = e.__class__(
+                error = exc.__class__(
                     "".join(traceback.format_exception(*sys.exc_info()))
                 )
-            results = [means, sigmas, error, caught_warnings]
-            if reduce_particles:
-                results += [reduce_particles(all_particles, all_weights)]
-            elif return_particles:
-                results += [all_particles, all_weights]
-            return results
+            return record.results(error, noted_warnings, reduce_particles)
 
         import copy as copy_module
 
-        seeds = self.rng.spawn(ntracks)
-        workers = []
-        for seed in seeds:
-            worker = copy_module.copy(self)
-            worker.rng = seed
-            worker.reset()
-            workers.append(worker)
-        with config.backend(np=parallel) as pool:
-            results = pool.map(
-                func=process,
+        clones = []
+        for seed in self.rng.spawn(n_tracks):
+            clone = copy_module.copy(self)
+            clone.rng = seed
+            clone.reset()
+            clones.append(clone)
+        with config.backend(np=n_workers) as pool:
+            per_track = pool.map(
+                func=job,
                 star=True,
-                sequence=tuple(zip(motion_models, observer_mask, workers)),
+                sequence=tuple(zip(motion_models, observer_mask, clones)),
             )
-        if return_particles and not reduce_particles:
-            means, sigmas, errors, all_warnings, particles, weights = zip(*results)
-        else:
-            particles, weights = None, None
-            if reduce_particles:
-                means, sigmas, errors, all_warnings, reduced = zip(*results)
+        return self._assemble_tracks(
+            per_track,
+            datetimes=datetimes,
+            time_unit=time_units.pop(),
+            frame_table=frame_table,
+            call_params=call_params,
+            return_covariances=return_covariances,
+            return_particles=return_particles,
+            reduce_particles=reduce_particles,
+        )
+
+    def _warm_image_caches(self, frame_table: np.ndarray) -> None:
+        """Pre-decode matched images so parallel jobs share warm caches."""
+        for i, observer in enumerate(self.observers):
+            if observer.cache:
+                used = [img for img in frame_table[:, i] if img is not None]
+                observer.cache_images(index=used)
+
+    def _run_filter(
+        self, motion_model, obs_mask, frame_table, template_rows, steps,
+        tile_size, record,
+    ) -> None:
+        """Run the PF recurrence over the observed time span, recording each
+        step into ``record`` (reference tracker.py:305-374)."""
+        observed = np.not_equal(frame_table[:, obs_mask], None).any(axis=1)
+        active = np.flatnonzero(observed)
+        first, last = int(active[0]), int(active[-1])
+        for i in range(first, last + 1):
+            if i == first:
+                self.particles = motion_model.initialize_particles()
             else:
-                means, sigmas, errors, all_warnings = zip(*results)
-        kwargs = {
-            "time_unit": time_unit,
-            "datetimes": datetimes,
-            "means": means,
-            "particles": particles,
-            "weights": weights,
-            "tracker": self,
-            "images": matching_images,
-            "params": params,
-            "errors": errors,
-            "warnings": all_warnings,
-        }
-        if return_covariances:
-            kwargs["covariances"] = sigmas
-        else:
-            kwargs["sigmas"] = sigmas
+                motion_model.evolve_particles(self.particles, dt=steps[i - 1])
+            self.test_particles()
+            if i == first:
+                self.initialize_weights()
+            for obs in np.flatnonzero(obs_mask & (template_rows == i)):
+                self.initialize_template(
+                    obs=obs, img=frame_table[i][obs], tile_size=tile_size
+                )
+            if i > first:
+                imgs = [
+                    img if keep else None
+                    for img, keep in zip(frame_table[i], obs_mask)
+                ]
+                self.update_weights(imgs=imgs, motion_model=motion_model)
+                self.resample_particles()
+            record(i, self)
+
+    def _assemble_tracks(
+        self, per_track, datetimes, time_unit, frame_table, call_params,
+        return_covariances, return_particles, reduce_particles,
+    ) -> Tracks:
+        columns = list(zip(*per_track))
+        means, sigmas, errors, noted_warnings = columns[:4]
+        kwargs = dict(
+            time_unit=time_unit,
+            datetimes=datetimes,
+            means=means,
+            tracker=self,
+            images=frame_table,
+            params=call_params,
+            errors=errors,
+            warnings=noted_warnings,
+        )
+        kwargs["covariances" if return_covariances else "sigmas"] = sigmas
+        if return_particles and not reduce_particles:
+            kwargs["particles"], kwargs["weights"] = columns[4:6]
         tracks = Tracks(**kwargs)
         if reduce_particles:
-            tracks.reduced = list(reduced)
+            tracks.reduced = list(columns[4])
         return tracks

@@ -17,6 +17,20 @@ Index = Union[slice, Iterable[int]]
 Number = Union[int, float]
 
 
+def _precision_weighted_fuse(means, sigmas, axis, correlation, ignore_nan):
+    """Inverse-variance-weighted combination of normal estimates."""
+    precision = sigmas ** -2
+    return helpers.sum_normals(
+        means=means,
+        sigmas=sigmas,
+        weights=precision,
+        normalize=True,
+        correlation=correlation,
+        axis=axis,
+        ignore_nan=ignore_nan,
+    )
+
+
 class Tracks:
     """Estimated trajectories of world points.
 
@@ -140,41 +154,33 @@ class Tracks:
         the same sequence).
         """
         runs = list(runs)
-        datetimes = {tuple(run.datetimes) for run in runs}
-        if len(datetimes) != 1:
-            raise ValueError("Datetimes are not equal for all runs")
-        time_unit = {run.time_unit for run in runs}
-        if len(time_unit) != 1:
-            raise ValueError(f"Time units are not equal for all runs: {time_unit}")
-        means = np.stack([run.means for run in runs], axis=3)
-        sigmas = np.stack([run.sigmas for run in runs], axis=3)
-        means, sigmas = helpers.sum_normals(
-            means=means,
-            sigmas=sigmas,
-            weights=sigmas ** -2,
-            normalize=True,
+        lead = runs[0]
+        for run in runs[1:]:
+            if tuple(run.datetimes) != tuple(lead.datetimes):
+                raise ValueError("Datetimes are not equal for all runs")
+            if run.time_unit != lead.time_unit:
+                raise ValueError(
+                    "Time units are not equal for all runs: "
+                    f"{ {r.time_unit for r in runs} }"
+                )
+        fused_means, fused_sigmas = _precision_weighted_fuse(
+            np.stack([run.means for run in runs], axis=-1),
+            np.stack([run.sigmas for run in runs], axis=-1),
+            axis=-1,
             correlation=0,
-            axis=3,
-            keepdims=False,
             ignore_nan=ignore_nan,
         )
         return cls(
-            datetimes=np.array(datetimes.pop(), dtype=object),
-            time_unit=time_unit.pop(),
-            means=means,
-            sigmas=sigmas,
+            datetimes=lead.datetimes.copy(),
+            time_unit=lead.time_unit,
+            means=fused_means,
+            sigmas=fused_sigmas,
         )
 
     def average(self, ignore_nan: bool = False) -> Tuple[np.ndarray, np.ndarray]:
         """Time-averaged distribution per track (assumes full correlation)."""
-        return helpers.sum_normals(
-            means=self.means,
-            sigmas=self.sigmas,
-            weights=self.sigmas ** -2,
-            normalize=True,
-            correlation=1,
-            axis=1,
-            ignore_nan=ignore_nan,
+        return _precision_weighted_fuse(
+            self.means, self.sigmas, axis=1, correlation=1, ignore_nan=ignore_nan
         )
 
     # ---- Plotting ---- #
@@ -189,40 +195,37 @@ class Tracks:
         """Plot tracks on the x-y plane (start markers, mean paths, error bars)."""
         import matplotlib.pyplot as plt
 
-        results: Dict[str, Any] = {}
+        def style(spec, **defaults):
+            overrides = {} if spec is True else dict(spec)
+            return {**defaults, **overrides}
+
+        out: Dict[str, Any] = {}
+        base_color = "black"
         if mean:
-            mean = {} if mean is True else mean
-            mean = {"color": "black", **mean}
-            results["mean"] = plt.plot(
-                self.xyz[tracks, :, 0].T, self.xyz[tracks, :, 1].T, **mean
+            mean_style = style(mean, color=base_color)
+            base_color = mean_style.get("color", base_color)
+            out["mean"] = plt.plot(
+                self.xyz[tracks, :, 0].T, self.xyz[tracks, :, 1].T, **mean_style
             )
         if start:
-            start = {} if start is True else start
-            default = {"color": "black", "marker": ".", "linestyle": "none"}
-            if isinstance(mean, dict) and "color" in mean:
-                default["color"] = mean["color"]
-            start = {**default, **start}
-            results["start"] = plt.plot(
-                self.xyz[tracks, 0, 0], self.xyz[tracks, 0, 1], **start
+            out["start"] = plt.plot(
+                self.xyz[tracks, 0, 0],
+                self.xyz[tracks, 0, 1],
+                **style(start, color=base_color, marker=".", linestyle="none"),
             )
         if sigma:
-            sigma = {} if sigma is True else sigma
-            default = {"color": "black", "alpha": 0.25}
-            if isinstance(mean, dict) and "color" in mean:
-                default["color"] = mean["color"]
-            sigma = {**default, **sigma}
-            results["sigma"] = []
-            for i in np.atleast_1d(np.arange(len(self.xyz))[tracks]):
-                results["sigma"].append(
-                    plt.errorbar(
-                        self.xyz[i, :, 0],
-                        self.xyz[i, :, 1],
-                        xerr=self.xyz_sigma[i, :, 0],
-                        yerr=self.xyz_sigma[i, :, 1],
-                        **sigma,
-                    )
+            bar_style = style(sigma, color=base_color, alpha=0.25)
+            out["sigma"] = [
+                plt.errorbar(
+                    self.xyz[i, :, 0],
+                    self.xyz[i, :, 1],
+                    xerr=self.xyz_sigma[i, :, 0],
+                    yerr=self.xyz_sigma[i, :, 1],
+                    **bar_style,
                 )
-        return results
+                for i in np.atleast_1d(np.arange(len(self.xyz))[tracks])
+            ]
+        return out
 
     def plot_vxy(self, tracks: Index = slice(None), **kwargs: Any) -> list:
         """Plot velocities as quiver fields on the x-y plane."""
@@ -249,30 +252,31 @@ class Tracks:
         """Plot one velocity component over time, with optional sigma band."""
         import matplotlib.pyplot as plt
 
-        results: Dict[str, Any] = {}
+        def style(spec, **defaults):
+            overrides = {} if spec is True else dict(spec)
+            return {**defaults, **overrides}
+
+        out: Dict[str, Any] = {}
+        base_color = "black"
         if mean:
-            mean = {} if mean is True else mean
-            mean = {"color": "black", **mean}
-            results["mean"] = plt.plot(
-                self.datetimes, self.vxyz[tracks, :, dim].T, **mean
+            mean_style = style(mean, color=base_color)
+            base_color = mean_style.get("color", base_color)
+            out["mean"] = plt.plot(
+                self.datetimes, self.vxyz[tracks, :, dim].T, **mean_style
             )
         if sigma:
-            sigma = {} if sigma is True else sigma
-            default = {"facecolor": "black", "edgecolor": "none", "alpha": 0.25}
-            if isinstance(mean, dict) and "color" in mean:
-                default["facecolor"] = mean["color"]
-            sigma = {**default, **sigma}
-            results["sigma"] = []
+            band_style = style(
+                sigma, facecolor=base_color, edgecolor="none", alpha=0.25
+            )
+            bands = []
             for i in np.atleast_1d(np.arange(len(self.xyz))[tracks]):
-                results["sigma"].append(
-                    plt.fill_between(
-                        self.datetimes,
-                        y1=self.vxyz[i, :, dim] + self.vxyz_sigma[i, :, dim],
-                        y2=self.vxyz[i, :, dim] - self.vxyz_sigma[i, :, dim],
-                        **sigma,
-                    )
+                v = self.vxyz[i, :, dim]
+                s = self.vxyz_sigma[i, :, dim]
+                bands.append(
+                    plt.fill_between(self.datetimes, y1=v + s, y2=v - s, **band_style)
                 )
-        return results
+            out["sigma"] = bands
+        return out
 
     def animate(
         self,
