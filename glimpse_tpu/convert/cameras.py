@@ -22,6 +22,24 @@ Parameters = Dict[str, Union[bool, int, Iterable[int]]]
 Optimize = Union[bool, Parameters]
 
 
+def _fit_cam(xcam, cam: Camera, optimize: Optimize, default: Parameters,
+             uv, **kwargs: Any) -> Camera:
+    """Refine a converted Camera against its source model by least squares."""
+    params = default if optimize is True else optimize
+    fitter = Converter(xcam=xcam, cam=cam, uv=uv)
+    fitter.optimize_cam(params=params, **kwargs)
+    return fitter.cam
+
+
+def _fit_xcam(xcam, cam: Camera, optimize: Optimize, default: Parameters,
+              uv, **kwargs: Any):
+    """Refine a converted external camera against a Camera by least squares."""
+    params = default if optimize is True else optimize
+    fitter = Converter(xcam=xcam, cam=cam, uv=uv)
+    fitter.optimize_xcam(params=params, **kwargs)
+    return fitter.xcam
+
+
 class Matlab:
     """Camera Calibration Toolbox for MATLAB (Bouguet) model.
 
@@ -41,37 +59,44 @@ class Matlab:
     @classmethod
     def from_report(cls, path: Union[str, Path], sigmas: bool = False) -> "Matlab":
         """Parse a Calib_Results.m report (means, or sigmas = error / 3)."""
-        txt = Path(path).read_text()
+        # Collect every scalar/vector MATLAB assignment in one generic pass,
+        # then pick out the fields of interest.
+        table: Dict[str, Tuple[float, ...]] = {}
+        scale = 1 / 3 if sigmas else 1  # report errors are ~3 sigma
+        pattern = r"^\s*(\w+) = (\[[^\]]*\]|[^;\[\]]+);"
+        for name, body in re.findall(
+            pattern, Path(path).read_text(), flags=re.MULTILINE
+        ):
+            body = body.strip().strip("[]")
+            try:
+                values = tuple(float(v) * scale for v in body.split(";"))
+            except ValueError:
+                continue
+            table.setdefault(name, values)
 
-        def parse(key: str, length: int = 1) -> Tuple[float, ...]:
-            if length == 1:
-                pattern = fr"{key} = (.*);"
-            else:
-                groups = " ; ".join(["(.*)"] * length)
-                pattern = fr"{key} = \[ {groups} \];"
-            values = re.findall(pattern, txt)
-            if length > 1:
-                values = values[0]
-            scale = 1 / 3 if sigmas else 1  # report errors are ~3 sigma
-            return tuple(float(x) * scale for x in values)
+        def field(name: str) -> Tuple[float, ...]:
+            return table[f"{name}_error" if sigmas else name]
 
+        if sigmas:
+            imgsz = (0, 0)
+        else:
+            imgsz = int(table["nx"][0]), int(table["ny"][0])
         return cls(
-            imgsz=(0, 0) if sigmas else (int(parse("nx")[0]), int(parse("ny")[0])),
-            fc=parse("fc_error" if sigmas else "fc", 2),
-            cc=parse("cc_error" if sigmas else "cc", 2),
-            kc=parse("kc_error" if sigmas else "kc", 5),
-            alpha_c=parse("alpha_c_error" if sigmas else "alpha_c")[0],
+            imgsz=imgsz,
+            fc=field("fc"),
+            cc=field("cc"),
+            kc=field("kc"),
+            alpha_c=field("alpha_c")[0],
         )
 
     @classmethod
     def _from_camera_initial(cls, cam: Camera) -> "Matlab":
+        # MATLAB's cc frame puts (0, 0) at the center of the top-left pixel.
+        center = np.asarray(cam.c) + (np.asarray(cam.imgsz) - 1) / 2
         return cls(
-            imgsz=(cam.imgsz[0], cam.imgsz[1]),
-            fc=(cam.f[0], cam.f[1]),
-            cc=(
-                cam.c[0] + 0.5 * cam.imgsz[0] - 0.5,
-                cam.c[1] + 0.5 * cam.imgsz[1] - 0.5,
-            ),
+            imgsz=tuple(cam.imgsz),
+            fc=tuple(cam.f),
+            cc=tuple(center),
             kc=(cam.k[0], cam.k[1], cam.p[0], cam.p[1], cam.k[2]),
         )
 
@@ -82,11 +107,7 @@ class Matlab:
         xcam = cls._from_camera_initial(cam)
         if not optimize or (cam.k[3:6] == 0).all():
             return xcam
-        if optimize is True:
-            optimize = {"kc": True}
-        converter = Converter(xcam=xcam, cam=cam, uv=uv)
-        converter.optimize_xcam(params=optimize, **kwargs)
-        return converter.xcam
+        return _fit_xcam(xcam, cam, optimize, {"kc": True}, uv, **kwargs)
 
     def _xy_to_uv(self, xy: np.ndarray) -> np.ndarray:
         r2 = np.sum(xy ** 2, axis=1)
@@ -106,13 +127,11 @@ class Matlab:
         return uv + (0.5, 0.5)
 
     def _to_camera_initial(self) -> Camera:
+        offset = np.asarray(self.cc) - (np.asarray(self.imgsz) - 1) / 2
         return Camera(
             imgsz=self.imgsz,
             f=self.fc,
-            c=(
-                self.cc[0] + 0.5 - self.imgsz[0] / 2,
-                self.cc[1] + 0.5 - self.imgsz[1] / 2,
-            ),
+            c=tuple(offset),
             k=(self.kc[0], self.kc[1], self.kc[4]),
             p=(self.kc[2], self.kc[3]),
         )
@@ -122,11 +141,8 @@ class Matlab:
         cam = self._to_camera_initial()
         if not optimize or not self.alpha_c:
             return cam
-        if optimize is True:
-            optimize = {"f": True, "c": True, "k": True, "p": True}
-        converter = Converter(xcam=self, cam=cam, uv=uv)
-        converter.optimize_cam(params=optimize, **kwargs)
-        return converter.cam
+        default = {"f": True, "c": True, "k": True, "p": True}
+        return _fit_cam(self, cam, optimize, default, uv, **kwargs)
 
 
 class OpenCV:
@@ -137,14 +153,14 @@ class OpenCV:
 
     def __init__(self, imgsz, fx, fy, cx=None, cy=None, k1=0, k2=0, k3=0, k4=0,
                  k5=0, k6=0, p1=0, p2=0, s1=0, s2=0, s3=0, s4=0):
+        given = locals()
         self.imgsz = imgsz
         self.fx, self.fy = fx, fy
+        # Principal point defaults to the image center.
         self.cx = imgsz[0] / 2 if cx is None else cx
         self.cy = imgsz[1] / 2 if cy is None else cy
-        self.k1, self.k2, self.k3 = k1, k2, k3
-        self.k4, self.k5, self.k6 = k4, k5, k6
-        self.p1, self.p2 = p1, p2
-        self.s1, self.s2, self.s3, self.s4 = s1, s2, s3, s4
+        for key in self._DIST_KEYS:
+            setattr(self, key, given[key])
 
     @property
     def cameraMatrix(self) -> List[Tuple[float, ...]]:
@@ -228,13 +244,10 @@ class OpenCV:
     def to_camera(self, optimize: Optimize = True, uv=1000, **kwargs: Any) -> Camera:
         """Exact when thin-prism coefficients are zero, else fit k/p."""
         cam = self._to_camera_initial()
-        if not optimize or not any((self.s1, self.s2, self.s3, self.s4)):
+        has_prism = any((self.s1, self.s2, self.s3, self.s4))
+        if not optimize or not has_prism:
             return cam
-        if optimize is True:
-            optimize = {"k": True, "p": True}
-        converter = Converter(xcam=self, cam=cam, uv=uv)
-        converter.optimize_cam(params=optimize, **kwargs)
-        return converter.cam
+        return _fit_cam(self, cam, optimize, {"k": True, "p": True}, uv, **kwargs)
 
 
 class Agisoft:
@@ -286,11 +299,8 @@ class Agisoft:
         xcam = cls._from_camera_initial(cam)
         if not optimize or (cam.k[3:6] == 0).all():
             return xcam
-        if optimize is True:
-            optimize = {"k1": True, "k2": True, "k3": True}
-        converter = Converter(xcam=xcam, cam=cam, uv=uv)
-        converter.optimize_xcam(params=optimize, **kwargs)
-        return converter.xcam
+        default = {"k1": True, "k2": True, "k3": True}
+        return _fit_xcam(xcam, cam, optimize, default, uv, **kwargs)
 
     def _xy_to_uv(self, xy: np.ndarray) -> np.ndarray:
         r2 = np.sum(xy ** 2, axis=1)
@@ -323,15 +333,10 @@ class Agisoft:
         cam = self._to_camera_initial()
         if not optimize or not any((self.k4, self.b2)):
             return cam
-        if optimize is True:
-            optimize = {}
-            if self.k4:
-                optimize["k"] = True
-            if self.b2:
-                optimize.update({"f": True, "c": True, "k": True})
-        converter = Converter(xcam=self, cam=cam, uv=uv)
-        converter.optimize_cam(params=optimize, **kwargs)
-        return converter.cam
+        default: Parameters = {"k": True}
+        if self.b2:
+            default.update({"f": True, "c": True})
+        return _fit_cam(self, cam, optimize, default, uv, **kwargs)
 
 
 class PhotoModeler:
@@ -383,23 +388,21 @@ class PhotoModeler:
                     **kwargs: Any) -> "PhotoModeler":
         """Exact for ideal cameras with square focal lengths, else fit."""
         xcam = cls._from_camera_initial(cam)
-        exact = (
-            cam.fmm[0] == cam.fmm[1] and np.all(cam.k == 0) and np.all(cam.p == 0)
-        )
-        if not optimize or exact:
+        anisotropic = cam.fmm[0] != cam.fmm[1]
+        distorted_k = bool(np.any(cam.k != 0))
+        distorted_p = bool(np.any(cam.p != 0))
+        if not optimize or not (anisotropic or distorted_k or distorted_p):
             return xcam
-        if optimize is True:
-            optimize = {}
-            if cam.fmm[0] != cam.fmm[1]:
-                optimize = {"focal": True, "xp": True, "yp": True,
-                            "fw": True, "fh": True}
-            if np.any(cam.k != 0):
-                optimize = {**optimize, "k1": True, "k2": True, "k3": True}
-            if np.any(cam.p != 0):
-                optimize = {**optimize, "p1": True, "p2": True}
-        converter = Converter(xcam=xcam, cam=cam, uv=uv)
-        converter.optimize_xcam(params=optimize, **kwargs)
-        return converter.xcam
+        default: Parameters = {}
+        if anisotropic:
+            default.update(
+                {"focal": True, "xp": True, "yp": True, "fw": True, "fh": True}
+            )
+        if distorted_k:
+            default.update({"k1": True, "k2": True, "k3": True})
+        if distorted_p:
+            default.update({"p1": True, "p2": True})
+        return _fit_xcam(xcam, cam, optimize, default, uv, **kwargs)
 
     def _uv_to_xy(self, uv: np.ndarray) -> np.ndarray:
         """Incoming distortion: image coordinates to normalized camera frame."""
@@ -425,16 +428,13 @@ class PhotoModeler:
     def to_camera(self, optimize: Optimize = True, uv=1000, **kwargs: Any) -> Camera:
         """Exact when distortion-free, else fit k and/or p."""
         cam = self._to_camera_initial()
-        k = (self.k1, self.k2, self.k3)
-        p = (self.p1, self.p2)
-        if not optimize or not any(k + p):
+        has_radial = any((self.k1, self.k2, self.k3))
+        has_tangential = any((self.p1, self.p2))
+        if not optimize or not (has_radial or has_tangential):
             return cam
-        if optimize is True:
-            optimize = {}
-            if any(k):
-                optimize["k"] = True
-            if any(p):
-                optimize["p"] = True
-        converter = Converter(xcam=self, cam=cam, uv=uv)
-        converter.optimize_cam(params=optimize, **kwargs)
-        return converter.cam
+        default: Parameters = {}
+        if has_radial:
+            default["k"] = True
+        if has_tangential:
+            default["p"] = True
+        return _fit_cam(self, cam, optimize, default, uv, **kwargs)

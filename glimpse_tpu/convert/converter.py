@@ -67,29 +67,45 @@ class Converter:
         fit = scipy.optimize.least_squares(fun=fun, x0=self.cam._vector[mask], **kwargs)
         self.cam._vector[mask] = fit.x
 
+    def _xcam_slots(self, params: Parameters) -> list:
+        """Resolve a {attribute: selection} spec into (name, indices) slots."""
+        slots = []
+        for name, selection in params.items():
+            if not selection:
+                continue
+            width = np.atleast_1d(getattr(self.xcam, name)).size
+            if selection is True:
+                picked = np.arange(width)
+            else:
+                picked = np.atleast_1d(np.arange(width)[selection])
+            slots.append((name, picked))
+        return slots
+
+    def _write_xcam(self, slots: list, flat: np.ndarray) -> None:
+        """Scatter a flat parameter vector back into xcam attributes."""
+        cursor = 0
+        for name, picked in slots:
+            values = np.atleast_1d(getattr(self.xcam, name)).astype(float)
+            values[picked] = flat[cursor : cursor + picked.size]
+            cursor += picked.size
+            setattr(self.xcam, name, tuple(values) if values.size > 1 else values[0])
+
     def optimize_xcam(self, params: Parameters, **kwargs: Any) -> None:
         """Least-squares fit of selected xcam attributes to cam."""
-        indices = {k: slice(None) if v is True else v for k, v in params.items() if v}
-        x0 = []
-        for key, idx in indices.items():
-            value = np.atleast_1d(getattr(self.xcam, key))
-            x0.extend(np.atleast_1d(value[idx]))
-
-        def apply(x: np.ndarray) -> None:
-            i = 0
-            for key, idx in indices.items():
-                value = np.atleast_1d(getattr(self.xcam, key)).astype(float)
-                n = len(value) if isinstance(idx, slice) else len(np.atleast_1d(idx))
-                value[idx] = x[i : i + n]
-                setattr(self.xcam, key, tuple(value) if len(value) > 1 else value[0])
-                i += n
+        slots = self._xcam_slots(params)
+        x0 = np.concatenate(
+            [
+                np.atleast_1d(getattr(self.xcam, name)).astype(float)[picked]
+                for name, picked in slots
+            ]
+        )
 
         def fun(x: np.ndarray) -> np.ndarray:
-            apply(x)
+            self._write_xcam(slots, x)
             return self.residuals().ravel()
 
         fit = scipy.optimize.least_squares(fun=fun, x0=x0, **kwargs)
-        apply(fit.x)
+        self._write_xcam(slots, fit.x)
 
     def plot(self, **kwargs: Any):
         """Quiver plot of residuals (xcam -> cam)."""

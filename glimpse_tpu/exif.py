@@ -380,17 +380,15 @@ class Exif:
     @property
     def datetime(self) -> Optional[datetime_module.datetime]:
         """Capture date and time (with subseconds when available)."""
-        ymdhms = self.parse_tag("DateTimeOriginal")
-        if not ymdhms:
+        stamp = self.parse_tag("DateTimeOriginal")
+        if not stamp:
             return None
-        ss = self.parse_tag("SubSecTimeOriginal")
-        if not ss:
-            return datetime_module.datetime.strptime(
-                str(ymdhms), "%Y:%m:%d %H:%M:%S"
-            )
-        return datetime_module.datetime.strptime(
-            str(ymdhms) + "." + str(ss), "%Y:%m:%d %H:%M:%S.%f"
-        )
+        text, layout = str(stamp), "%Y:%m:%d %H:%M:%S"
+        subseconds = self.parse_tag("SubSecTimeOriginal")
+        if subseconds:
+            text += f".{subseconds}"
+            layout += ".%f"
+        return datetime_module.datetime.strptime(text, layout)
 
     @property
     def exposure(self) -> Optional[float]:
@@ -437,16 +435,17 @@ class Exif:
 
     def parse_tag(self, tag: str, group: str = "Exif") -> Any:
         """Return a tag value parsed to a native type (str, float, int)."""
-        try:
-            value = self.tags[group][tag]
-        except KeyError:
-            return None
+        value = self.tags.get(group, {}).get(tag)
         if isinstance(value, bytes):
             return value.decode(errors="replace")
-        if isinstance(value, tuple) and len(value) == 2 and all(
-            isinstance(v, int) for v in value
-        ):
-            return value[0] / value[1]
+        is_rational = (
+            isinstance(value, tuple)
+            and len(value) == 2
+            and all(isinstance(part, int) for part in value)
+        )
+        if is_rational:
+            numerator, denominator = value
+            return numerator / denominator
         return value
 
     # ---- Writing ---- #

@@ -509,8 +509,11 @@ def clip_polyline_box(
     ends = np.flatnonzero(padded[:-1] & ~padded[1:])  # exclusive
 
     def boundary_point(inner_idx, outer_idx):
-        a = line[inner_idx]
-        step = line[outer_idx] - a
+        # Anchor at the out-of-box vertex: the crossing fraction is then the
+        # box *entry* time, numerically exact when the box edge lies on the
+        # sample lattice.
+        a = line[outer_idx]
+        step = line[inner_idx] - a
         frac = intersect_edge_box(a[cols], step[cols], box)
         return None if frac is None else a + frac * step
 

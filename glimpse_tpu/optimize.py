@@ -60,14 +60,20 @@ class Points:
     """
 
     def __init__(self, cam: Camera, uv, xyz, directions: bool = False) -> None:
-        if len(uv) != len(xyz):
+        uv = np.asarray(uv, dtype=float)
+        xyz = np.asarray(xyz, dtype=float)
+        if uv.shape[0] != xyz.shape[0]:
             raise ValueError("Image and world coordinates have different length")
         self.cam = cam
-        self.uv = np.asarray(uv, dtype=float)
-        self.xyz = np.asarray(xyz, dtype=float)
+        self.uv = uv
+        self.xyz = xyz
         self.directions = directions
-        self._position = cam.xyz.copy()
-        self._imgsz = cam.imgsz.copy()
+        self._remember_camera_state()
+
+    def _remember_camera_state(self) -> None:
+        """Snapshot camera position/size for later invalidation checks."""
+        self._position = self.cam.xyz.copy()
+        self._imgsz = self.cam.imgsz.copy()
 
     @property
     def size(self) -> int:
@@ -121,12 +127,11 @@ class Lines(Points):
                  density: float = 1) -> None:
         self.cam = cam
         self.uvs = [np.asarray(uv, dtype=float) for uv in uvs]
-        self.uv = np.vstack(self.uvs)
+        self.uv = np.concatenate(self.uvs, axis=0)
         self.xyzs = xyzs
         self.directions = directions
         self.density = density
-        self._position = cam.xyz.copy()
-        self._imgsz = cam.imgsz.copy()
+        self._remember_camera_state()
 
     def _project_xyzs(self) -> List[np.ndarray]:
         """Project world lines into the image at the target pixel density."""
@@ -214,14 +219,15 @@ class Matches:
         return len(self.uvs[0]) if self.uvs else len(self.xys[0])
 
     def _test_matches(self) -> None:
-        if self.cams[0] is self.cams[1]:
+        coords = self.uvs if self.uvs else getattr(self, "xys", None)
+        a, b = self.cams[0], self.cams[1]
+        if a is b:
             raise ValueError("Both cameras are the same object")
-        uvs = self.uvs or getattr(self, "xys", None)
-        if len(self.cams) != 2 or len(uvs) != 2:
+        if not (len(self.cams) == 2 == len(coords)):
             raise ValueError(
                 "Cameras and point coordinates do not have two elements each"
             )
-        if len(uvs[0]) != len(uvs[1]):
+        if len(coords[0]) != len(coords[1]):
             raise ValueError("Camera point coordinates do not have the same length")
 
     def _test_position(self) -> None:
@@ -273,41 +279,46 @@ class Matches:
         scaled: bool = False,
     ) -> None:
         """Keep matches by weight rank, reprojection error, or pair distance."""
-        selected = np.ones(self.size, dtype=bool)
         if (n_best or min_weight) and self.weights is None:
             raise ValueError("Filtering on weights failed since these are missing")
+        keep = np.ones(self.size, dtype=bool)
         if self.weights is not None:
             if n_best:
-                order = np.argsort(-self.weights)
-                selected[order[min(n_best, self.size):]] = False
+                ranked = np.argsort(-self.weights)
+                keep[ranked[min(n_best, self.size):]] = False
             if min_weight:
-                selected &= self.weights >= min_weight
+                keep &= self.weights >= min_weight
         ci = self._cam_index(cam)
-        co = 0 if ci else 1
+        co = 1 - ci
+        unit = self.cams[ci].imgsz[0] if scaled else 1.0
         if max_error:
-            if scaled:
-                max_error = max_error * self.cams[ci].imgsz[0]
-            errors = np.linalg.norm(
-                self.observed(ci, index=selected) - self.predicted(ci, index=selected),
-                axis=1,
+            live = np.flatnonzero(keep)
+            residuals = self.predicted(ci, index=live) - self.observed(ci, index=live)
+            keep[live] &= np.hypot(residuals[:, 0], residuals[:, 1]) <= max_error * unit
+        if max_distance and keep.any():
+            live = np.flatnonzero(keep)
+            to_ci = self.cams[ci].imgsz / self.cams[co].imgsz
+            shifts = self.observed(co, index=live) * to_ci - self.observed(
+                ci, index=live
             )
-            selected[selected] &= errors <= max_error
-        if max_distance and selected.any():
-            if scaled:
-                max_distance = max_distance * self.cams[ci].imgsz[0]
-            scale = self.cams[ci].imgsz / self.cams[co].imgsz
-            distances = np.linalg.norm(
-                self.observed(co, index=selected) * scale
-                - self.observed(ci, index=selected),
-                axis=1,
+            keep[live] &= (
+                np.hypot(shifts[:, 0], shifts[:, 1]) <= max_distance * unit
             )
-            selected[selected] &= distances <= max_distance
+        self._apply_selection(keep)
+
+    def _apply_selection(self, keep: np.ndarray) -> None:
+        """Drop matches outside the boolean selection, in place.
+
+        Both pixel (uvs) and normalized (xys) coordinates are filtered when
+        present, keeping RotationMatches' two representations in sync (the
+        reference filters only one, optimize.py:734-738).
+        """
         if self.uvs:
-            self.uvs = [uv[selected] for uv in self.uvs]
-        else:
-            self.xys = [xy[selected] for xy in self.xys]
+            self.uvs = [uv[keep] for uv in self.uvs]
+        if getattr(self, "xys", None) is not None:
+            self.xys = [xy[keep] for xy in self.xys]
         if self.weights is not None:
-            self.weights = self.weights[selected]
+            self.weights = self.weights[keep]
 
     def plot(self, cam: CamIndex = 0, index: Index = slice(None), selected="red",
              unselected="gray", **kwargs: Any) -> dict:
@@ -507,28 +518,29 @@ class Polynomial:
 
         if params is None:
             params = self.fit(index)
-        result = {}
-        full = np.arange(self.size)
-        index, unindex = full[index], np.delete(full, index)
-        for idx, args, label in [
-            (unindex, unselected, "unselected"),
-            (index, selected, "selected"),
-        ]:
-            if not len(idx) or args is None:
-                result[label] = None
-                continue
-            if not isinstance(args, dict):
-                args = {"c": args}
-            result[label] = plt.scatter(
-                self.xy[idx, 0], self.xy[idx, 1], **{**args, **kwargs}
+        everything = np.arange(self.size)
+        chosen = everything[index]
+        rest = np.setdiff1d(everything, chosen)
+
+        def scatter(rows, spec):
+            if spec is None or rows.size == 0:
+                return None
+            style = spec if isinstance(spec, dict) else {"c": spec}
+            return plt.scatter(
+                self.xy[rows, 0], self.xy[rows, 1], **{**style, **kwargs}
             )
-        if predicted is None:
-            result["predicted"] = None
-        else:
-            if not isinstance(predicted, dict):
-                predicted = {"color": predicted}
+
+        result = {
+            "unselected": scatter(rest, unselected),
+            "selected": scatter(chosen, selected),
+            "predicted": None,
+        }
+        if predicted is not None:
+            line_style = (
+                predicted if isinstance(predicted, dict) else {"color": predicted}
+            )
             result["predicted"] = plt.plot(
-                self.xy[:, 0], self.predict(params), **predicted
+                self.xy[:, 0], self.predict(params), **line_style
             )
         return result
 
@@ -634,42 +646,47 @@ class Cameras:
         Analytic pixels-per-unit heuristics for each of the 20 parameters
         (optimize.py:1326-1407), inverted to units per pixel.
         """
-        dpixels = np.ones(20, dtype=float)
-        mean_r_uv = (cam.imgsz.mean() / 6) * (np.sqrt(2) + np.log(1 + np.sqrt(2)))
-        mean_r_xy = mean_r_uv / cam.f.mean()
-        if controls:
-            xyz = []
-            for control in controls:
-                if (
-                    isinstance(control, (Points, Lines))
-                    and cam is control.cam
-                    and not control.directions
-                ):
-                    if hasattr(control, "xyz"):
-                        xyz.append(control.xyz)
-                    elif hasattr(control, "xyzs"):
-                        xyz.extend(control.xyzs)
-            if xyz:
-                dpixels[0:3] = (
-                    cam.f.mean() / np.linalg.norm(np.vstack(xyz) - cam.xyz).mean()
-                )
-        imgsz_degrees = (2 * np.arctan(cam.imgsz / (2 * cam.f))) * (180 / np.pi)
-        dpixels[3:5] = cam.imgsz / imgsz_degrees
-        theta = np.pi / 180
-        dpixels[5] = 2 * mean_r_uv * np.sin(theta / 2)
-        dpixels[6:8] = 0.5
-        dpixels[8:10] = mean_r_xy
-        dpixels[10:12] = 1
-        dpixels[12:18] = [
-            mean_r_xy ** 3 * cam.f.mean() * 2 ** 0.5,
-            mean_r_xy ** 5 * cam.f.mean() * 2 ** 1.5,
-            mean_r_xy ** 7 * cam.f.mean() * 2 ** 2.5,
-            mean_r_xy ** 3 / (1 + cam.k[3] * mean_r_xy ** 2) * cam.f.mean() * 2 ** 0.5,
-            mean_r_xy ** 5 / (1 + cam.k[4] * mean_r_xy ** 4) * cam.f.mean() * 2 ** 1.5,
-            mean_r_xy ** 7 / (1 + cam.k[5] * mean_r_xy ** 6) * cam.f.mean() * 2 ** 2.5,
-        ]
-        dpixels[18:20] = np.sqrt(5) * mean_r_xy ** 2 * cam.f.mean()
-        return 1 / dpixels
+        f_mean = float(cam.f.mean())
+        # Mean image radius (px), and its normalized-camera-frame twin.
+        r_px = (cam.imgsz.mean() / 6) * (np.sqrt(2) + np.log(1 + np.sqrt(2)))
+        r_xy = r_px / f_mean
+
+        px_per_unit = np.ones(20, dtype=float)
+        world = Cameras._control_world_points(cam, controls)
+        if world is not None:
+            depth = np.linalg.norm(world - cam.xyz).mean()
+            px_per_unit[0:3] = f_mean / depth
+        fov_deg = np.degrees(2 * np.arctan(cam.imgsz / (2 * cam.f)))
+        px_per_unit[3:5] = cam.imgsz / fov_deg
+        px_per_unit[5] = 2 * r_px * np.sin(np.radians(1.0) / 2)
+        px_per_unit[6:8] = 0.5
+        px_per_unit[8:10] = r_xy
+        # Radial terms: r^(2i+1) per coefficient order, rational denominators
+        # for k4..k6, with the 2^(i+1/2) spread factor.
+        for i in range(3):
+            magnitude = r_xy ** (3 + 2 * i) * f_mean * 2 ** (0.5 + i)
+            px_per_unit[12 + i] = magnitude
+            px_per_unit[15 + i] = magnitude / (1 + cam.k[3 + i] * r_xy ** (2 + 2 * i))
+        px_per_unit[18:20] = np.sqrt(5) * r_xy ** 2 * f_mean
+        return 1 / px_per_unit
+
+    @staticmethod
+    def _control_world_points(cam: Camera, controls) -> Optional[np.ndarray]:
+        """World coordinates of absolute (non-direction) controls on ``cam``."""
+        gathered = []
+        for control in controls or ():
+            applies = (
+                isinstance(control, (Points, Lines))
+                and control.cam is cam
+                and not control.directions
+            )
+            if not applies:
+                continue
+            if isinstance(control, Lines):
+                gathered.extend(control.xyzs)
+            else:
+                gathered.append(control.xyz)
+        return np.vstack(gathered) if gathered else None
 
     @staticmethod
     def camera_bounds(cam: Camera) -> np.ndarray:
@@ -775,39 +792,49 @@ class Cameras:
 
     def _test(self) -> None:
         """Guard against configurations with undefined behavior."""
-        if not len(self.controls):
+        if not self.controls:
             raise ValueError("No controls reference the cameras")
-        for i, idx in enumerate(self.group_indices):
-            fc = "f" in self.group_params[i] or "c" in self.group_params[i]
-            sizes = np.unique(np.vstack([self.cams[j].imgsz for j in idx]), axis=0)
-            if fc and len(sizes) > 1:
+        self._check_group_image_sizes()
+        self._check_mask_overlaps()
+        self._check_controls_cover_params()
+
+    def _check_group_image_sizes(self) -> None:
+        """Groups synchronizing f or c need a single shared image size."""
+        for g, members in enumerate(self.group_indices):
+            if not ({"f", "c"} & set(self.group_params[g])):
+                continue
+            sizes = {tuple(self.cams[j].imgsz) for j in members}
+            if len(sizes) > 1:
                 raise ValueError(
-                    f"Group {i}: 'f' or 'c' in parameters but image sizes not equal"
+                    f"Group {g}: 'f' or 'c' in parameters but image sizes not equal"
                 )
-        M = np.vstack(self.group_masks)
-        overlaps = np.nonzero(np.count_nonzero(M, axis=0) > 1)[0]
-        for i in overlaps:
-            groups = np.nonzero(M[:, i])[0]
-            idx = np.concatenate([self.group_indices[g] for g in groups])
-            if len(np.unique(idx)) < len(idx):
+
+    def _check_mask_overlaps(self) -> None:
+        """No camera may belong to two groups that free the same parameter."""
+        stacked = np.vstack(self.group_masks)
+        for param in np.flatnonzero(stacked.sum(axis=0) > 1):
+            touching = np.flatnonzero(stacked[:, param])
+            members = np.concatenate([self.group_indices[g] for g in touching])
+            if np.unique(members).size < members.size:
                 raise ValueError(
                     "Some cameras are in multiple groups with overlapping masks"
                 )
-        control_cams = [
-            cam for control in self.controls for cam in self._get_control_cams(control)
-        ]
-        cams_with_params = [
+
+    def _check_controls_cover_params(self) -> None:
+        """Every camera with free parameters needs at least one control."""
+        controlled = {
             cam
-            for i, cam in enumerate(self.cams)
-            if self.cam_params[i]
-            or any(
-                self.group_params[j]
-                for j, idx in enumerate(self.group_indices)
-                if i in idx
+            for control in self.controls
+            for cam in self._get_control_cams(control)
+        }
+        for i, cam in enumerate(self.cams):
+            in_param_group = any(
+                self.group_params[g]
+                for g, members in enumerate(self.group_indices)
+                if i in members
             )
-        ]
-        if set(cams_with_params) - set(control_cams):
-            raise ValueError("Not all cameras with params appear in controls")
+            if (self.cam_params[i] or in_param_group) and cam not in controlled:
+                raise ValueError("Not all cameras with params appear in controls")
 
     def _build_scales(self) -> None:
         scales = [self.camera_scales(cam, self.controls) for cam in self.cams]
@@ -849,16 +876,20 @@ class Cameras:
     # -- camera parameter application -- #
 
     def set_cameras(self, params, save: bool = False) -> None:
-        """Write a parameter vector into the camera 20-vectors."""
-        params = np.asarray(params, dtype=float)
-        for i, idx in enumerate(self.group_indices):
-            for j in idx:
-                self.cams[j]._vector[self.group_masks[i]] = params[
-                    self.group_breaks[i] : self.group_breaks[i + 1]
-                ]
-                self.cams[j]._vector[self.cam_masks[j]] = params[
-                    self.cam_breaks[j] : self.cam_breaks[j + 1]
-                ]
+        """Write a parameter vector into the camera 20-vectors.
+
+        Layout: group blocks first (broadcast to every member camera), then
+        one block of free parameters per camera.
+        """
+        values = np.asarray(params, dtype=float)
+        for g, members in enumerate(self.group_indices):
+            block = values[self.group_breaks[g] : self.group_breaks[g + 1]]
+            for j in members:
+                self.cams[j]._vector[self.group_masks[g]] = block
+        for j, cam in enumerate(self.cams):
+            cam._vector[self.cam_masks[j]] = values[
+                self.cam_breaks[j] : self.cam_breaks[j + 1]
+            ]
         if save:
             self.vectors = [cam.to_array() for cam in self.cams]
 
@@ -874,27 +905,29 @@ class Cameras:
         """Total number of control points."""
         return int(np.sum([control.size for control in self.controls]))
 
+    def _stack_controls(self, method: str, index: Index) -> np.ndarray:
+        """Concatenate a per-control accessor over all controls."""
+        if len(self.controls) == 1:
+            return getattr(self.controls[0], method)(index=index)
+        return np.vstack(
+            [getattr(control, method)() for control in self.controls]
+        )[index]
+
     def observed(self, index: Index = slice(None)) -> np.ndarray:
         """Observed coordinates over all controls."""
-        if len(self.controls) == 1:
-            return self.controls[0].observed(index=index)
-        return np.vstack([control.observed() for control in self.controls])[index]
+        return self._stack_controls("observed", index)
 
     def predicted(self, params=None, index: Index = slice(None)) -> np.ndarray:
         """Predicted coordinates over all controls (optionally at params)."""
-        if params is not None:
-            vectors = [cam.to_array() for cam in self.cams]
-            self.set_cameras(params)
-        if len(self.controls) == 1:
-            result = self.controls[0].predicted(index=index)
-        else:
-            result = np.vstack(
-                [control.predicted() for control in self.controls]
-            )[index]
-        if params is not None:
-            for cam, vector in zip(self.cams, vectors):
+        if params is None:
+            return self._stack_controls("predicted", index)
+        saved = [cam.to_array() for cam in self.cams]
+        self.set_cameras(params)
+        try:
+            return self._stack_controls("predicted", index)
+        finally:
+            for cam, vector in zip(self.cams, saved):
                 cam._vector = vector
-        return result
 
     def residuals(self, params=None, index: Index = slice(None)) -> np.ndarray:
         """Weighted residuals (predicted - observed), shape (n, 2)."""
@@ -1141,33 +1174,35 @@ def ransac(
     Samples are drawn without replacement and never repeat
     (optimize.py:2091-2188).
     """
-    if rng is None:
-        rng = np.random.default_rng()
-    params = None
-    err = np.inf
-    inliers = None
-    full = np.arange(model.size)
-    for maybe_idx in _ransac_samples(n=n, size=model.size, iterations=iterations, rng=rng):
-        maybe_params = model.fit(maybe_idx, **kwargs)
-        if maybe_params is None:
-            continue
-        test_idx = np.delete(full, maybe_idx)
-        test_errs = model.errors(maybe_params, test_idx)
-        also_idx = test_idx[test_errs < max_error]
-        if len(also_idx) > min_inliers:
-            better_idx = np.concatenate((maybe_idx, also_idx))
-            better_params = model.fit(better_idx, **kwargs)
-            if better_params is None:
-                continue
-            this_err = np.mean(model.errors(better_params, better_idx))
-            if this_err < err:
-                params = better_params
-                err = this_err
-                inliers = better_idx
-    if params is None:
+    rng = np.random.default_rng() if rng is None else rng
+    everything = np.arange(model.size)
+
+    def evaluate(sample: np.ndarray):
+        """Fit on the sample, grow a consensus set, refit, score."""
+        seed_params = model.fit(sample, **kwargs)
+        if seed_params is None:
+            return None
+        rest = np.setdiff1d(everything, sample)
+        close = rest[model.errors(seed_params, rest) < max_error]
+        if close.size <= min_inliers:
+            return None
+        consensus = np.concatenate((sample, close))
+        refined = model.fit(consensus, **kwargs)
+        if refined is None:
+            return None
+        return float(np.mean(model.errors(refined, consensus))), refined
+
+    best_err, best_params = np.inf, None
+    for sample in _ransac_samples(
+        n=n, size=model.size, iterations=iterations, rng=rng
+    ):
+        scored = evaluate(np.asarray(sample))
+        if scored is not None and scored[0] < best_err:
+            best_err, best_params = scored
+    if best_params is None:
         raise ValueError("Best fit does not meet acceptance criteria")
-    inliers = np.where(model.errors(params) <= max_error)[0]
-    return params, inliers
+    inliers = np.flatnonzero(model.errors(best_params) <= max_error)
+    return best_params, inliers
 
 
 def _ransac_samples(
@@ -1198,17 +1233,14 @@ def detect_keypoints(array, mask=None, method=None, root: bool = False, **kwargs
     """Detect keypoints and descriptors (SIFT by default, RootSIFT optional)."""
     if cv2 is None:
         raise ImportError("OpenCV is required for keypoint detection")
-    if method is None:
-        method = cv2.SIFT
-    array = np.asarray(array, dtype=np.uint8)
-    if mask is not None:
-        mask = np.asarray(mask, dtype=np.uint8)
-    detector = method.create(**kwargs)
-    keypoints, descriptors = detector.detectAndCompute(array, mask=mask)
+    detector = (cv2.SIFT if method is None else method).create(**kwargs)
+    img8 = np.asarray(array, dtype=np.uint8)
+    mask8 = None if mask is None else np.asarray(mask, dtype=np.uint8)
+    keypoints, descriptors = detector.detectAndCompute(img8, mask=mask8)
     if root and descriptors is not None:
-        descriptors = np.sqrt(
-            descriptors / (descriptors.sum(axis=1, keepdims=True) + 1e-7)
-        )
+        # RootSIFT: L1-normalize, then take the elementwise square root.
+        l1 = descriptors.sum(axis=1, keepdims=True) + 1e-7
+        descriptors = np.sqrt(descriptors / l1)
     return keypoints, descriptors
 
 
@@ -1275,19 +1307,20 @@ class KeypointMatcher:
     """
 
     def __init__(self, images: Iterable[Image], clahe=False) -> None:
-        images = list(images)
-        dts = np.diff([img.datetime for img in images])
-        if np.any(dts < datetime.timedelta(0)):
+        ordered = list(images)
+        times = [img.datetime for img in ordered]
+        if any(b < a for a, b in zip(times, times[1:])):
             raise ValueError("Images are not in ascending temporal order")
-        self.images = np.asarray(images, dtype=object)
-        if clahe is False or cv2 is None:
-            self.clahe = None
-        else:
-            if clahe is True:
-                clahe = {}
-            self.clahe = cv2.createCLAHE(**clahe)
+        self.images = np.asarray(ordered, dtype=object)
+        self.clahe = self._make_clahe(clahe)
         self.keypoints = None
         self.matches = None
+
+    @staticmethod
+    def _make_clahe(spec):
+        if spec is False or cv2 is None:
+            return None
+        return cv2.createCLAHE(**({} if spec is True else spec))
 
     def _basenames(self) -> List[str]:
         basenames = [helpers.strip_path(img.path) for img in self.images]
@@ -1327,29 +1360,31 @@ class KeypointMatcher:
         if not self.keypoints:
             self.keypoints = [None] * len(self.images)
 
-        def process(i: int, img: Image):
-            outpath = path / f"{basenames[i]}.pkl" if path else None
-            written = outpath.exists() if outpath else False
-            keypoints = self.keypoints[i]
-            read = keypoints is not None
-            if not read and written and not clear_keypoints:
-                keypoints = helpers.read_pickle(outpath)
-            elif read and not written and path:
-                helpers.write_pickle(keypoints, path=outpath)
-            elif (not read and not written) or overwrite:
-                array = self._prepare_image(img.read())
-                keypoints = detect_keypoints(array, mask=masks[i], **kwargs)
-                if path:
-                    helpers.write_pickle(keypoints, path=outpath)
-                if clear_images:
-                    img.array = None
-            if clear_keypoints:
-                keypoints = None
-            return keypoints
+        def detect(i: int, img: Image):
+            array = self._prepare_image(img.read())
+            found = detect_keypoints(array, mask=masks[i], **kwargs)
+            if clear_images:
+                img.array = None
+            return found
+
+        def job(i: int, img: Image):
+            cache_file = path / f"{basenames[i]}.pkl" if path else None
+            on_disk = cache_file is not None and cache_file.exists()
+            known = self.keypoints[i]
+            if overwrite or (known is None and not on_disk):
+                known = detect(i, img)
+                if cache_file:
+                    helpers.write_pickle(known, path=cache_file)
+            elif known is not None:
+                if cache_file and not on_disk:
+                    helpers.write_pickle(known, path=cache_file)
+            elif not clear_keypoints:
+                known = helpers.read_pickle(cache_file)
+            return None if clear_keypoints else known
 
         with config.backend(np=parallel) as pool:
             self.keypoints = pool.map(
-                func=process, sequence=tuple(enumerate(self.images)), star=True
+                func=job, sequence=tuple(enumerate(self.images)), star=True
             )
 
     def build_matches(
@@ -1404,47 +1439,45 @@ class KeypointMatcher:
             for i, m in enumerate(matching_images):
                 matching_images[i] = m if i in imgs else m[np.isin(m, imgs)]
 
+        def ensure_keypoints(k: int):
+            if self.keypoints[k] is None:
+                self.keypoints[k] = helpers.read_pickle(
+                    keypoints_path / f"{basenames[k]}.pkl"
+                )
+            return self.keypoints[k]
+
+        def match_pair(i: int, j: int):
+            """Load the cached pair match, or compute (and cache) it.
+
+            Returns None when the result is not needed in memory.
+            """
+            cams = (self.images[i].cam, self.images[j].cam)
+            cache_file = path / f"{basenames[i]}-{basenames[j]}.pkl" if path else None
+            if cache_file and cache_file.exists() and not overwrite:
+                if clear_matches:
+                    return None
+                match = helpers.read_pickle(cache_file)
+                match.cams = cams
+            else:
+                found = match_keypoints(
+                    ensure_keypoints(i), ensure_keypoints(j), **kwargs
+                )
+                match = Matches(
+                    cams=cams,
+                    uvs=list(found[0:2]),
+                    weights=(1 / found[2]) if weights else None,
+                )
+                if cache_file:
+                    helpers.write_pickle(match, cache_file)
+                if clear_matches:
+                    return None
+            return match.to_type(mtype) if mtype is not None else match
+
         def process(i: int, js: np.ndarray):
-            matches = []
-            imgA = self.images[i]
-            if self.keypoints[i] is None:
-                self.keypoints[i] = helpers.read_pickle(
-                    keypoints_path / f"{basenames[i]}.pkl"
-                )
-            for j in js:
-                imgB = self.images[j]
-                if self.keypoints[j] is None:
-                    self.keypoints[j] = helpers.read_pickle(
-                        keypoints_path / f"{basenames[j]}.pkl"
-                    )
-                outfile = (
-                    path / f"{basenames[i]}-{basenames[j]}.pkl" if path else None
-                )
-                if outfile and not overwrite and outfile.exists():
-                    if not clear_matches:
-                        match = helpers.read_pickle(outfile)
-                        match.cams = (imgA.cam, imgB.cam)
-                        if mtype is not None:
-                            match = match.to_type(mtype)
-                        matches.append(match)
-                else:
-                    result = match_keypoints(
-                        self.keypoints[i], self.keypoints[j], **kwargs
-                    )
-                    match = Matches(
-                        cams=(imgA.cam, imgB.cam),
-                        uvs=list(result[0:2]),
-                        weights=(1 / result[2]) if weights else None,
-                    )
-                    if outfile is not None:
-                        helpers.write_pickle(match, outfile)
-                    if not clear_matches:
-                        if mtype is not None:
-                            match = match.to_type(mtype)
-                        matches.append(match)
+            found = [match_pair(i, j) for j in js]
             if clear_keypoints:
                 self.keypoints[i] = None
-            return None if clear_matches else matches
+            return None if clear_matches else found
 
         def reduce(matches):
             if filter and matches:
@@ -1527,38 +1560,32 @@ class KeypointMatcher:
     def drop_images(self, imgs) -> None:
         """Drop images and all their matches, compacting the match matrix."""
         self._test_matches()
-        mask = self._images_mask(imgs)
-        self.matches.data[mask] = False
+        hit = self._images_mask(imgs)
+        self.matches.data[hit] = False
         self.matches.eliminate_zeros()
-        all_idx = np.arange(len(self.images))
-        keep = np.union1d(self.matches.row, self.matches.col)
-        drop = np.setdiff1d(all_idx, keep)
-        _, new_row = np.unique(
-            np.concatenate((self.matches.row, keep)), return_inverse=True
-        )
-        self.matches.row = new_row[: -len(keep)]
-        _, new_col = np.unique(
-            np.concatenate((self.matches.col, keep)), return_inverse=True
-        )
-        self.matches.col = new_col[: -len(keep)]
-        n = len(self.images) - len(drop)
-        self.matches._shape = (n, n)
-        self.images = np.delete(self.images, drop)
+        # Renumber surviving images densely via an old->new lookup table.
+        survivors = np.union1d(self.matches.row, self.matches.col)
+        remap = np.full(len(self.images), -1, dtype=int)
+        remap[survivors] = np.arange(survivors.size)
+        self.matches.row = remap[self.matches.row]
+        self.matches.col = remap[self.matches.col]
+        self.matches._shape = (survivors.size, survivors.size)
+        self.images = self.images[survivors]
 
     def match_breaks(self, min_matches: int = 0) -> np.ndarray:
-        """Indices where the pairwise match chain is broken."""
+        """Indices where the pairwise match chain is broken.
+
+        Image ``i`` is a break when fewer than ``max(1, min_matches)`` match
+        pairs start at it (capped by how many later images exist).
+        """
         self._test_matches()
-        all_starts = np.arange(len(self.images) - 1)
+        n = len(self.images)
+        pairs_from = np.zeros(n - 1, dtype=int)
         starts, counts = np.unique(self.matches.row, return_counts=True)
-        breaks = np.setdiff1d(all_starts, starts)
-        if min_matches:
-            min_matches = np.minimum(
-                min_matches, len(self.images) - np.arange(len(self.images))
-            )
-            breaks = np.sort(
-                np.concatenate((breaks, np.where(counts < min_matches)[0]))
-            )
-        return breaks
+        pairs_from[starts] = counts
+        available = (n - 1) - np.arange(n - 1)
+        required = np.maximum(1, np.minimum(min_matches, available))
+        return np.flatnonzero(pairs_from < required)
 
 
 # ---- Batch reprojection ---- #
