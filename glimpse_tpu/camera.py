@@ -338,21 +338,35 @@ class Camera:
         )
 
     def uv_to_xyz(
-        self, uv: np.ndarray, directions: bool = True, depth: Vector = 1
+        self,
+        uv: np.ndarray,
+        directions: bool = True,
+        depth: Vector = 1,
+        method: str = None,
+        **kwargs: Any,
     ) -> np.ndarray:
-        """Project image coordinates (n, 2) to world ray directions or coordinates."""
+        """Project image coordinates (n, 2) to world ray directions or coordinates.
+
+        ``method`` selects the undistortion solver for numerically inverted
+        distortion models: "oulu" (default), "lookup", or "regulafalsi"
+        (reference camera.py:1198-1230 dispatch; "k1" closed-form and the
+        identity are chosen automatically when the coefficients allow).
+        Non-reversible multi-coefficient cameras should use "lookup" or
+        "regulafalsi", as the Oulu fixed point may not converge there.
+        """
         uv = np.asarray(uv, dtype=float)
         return proj.unproject(
             self._vector, uv, directions=directions, depth=depth,
-            method=self._undistort_method(), xp=np,
+            method=method or self._undistort_method(), xp=np, **kwargs,
         )
 
     def _undistort_method(self) -> str:
-        """Pick the undistortion solver for this camera's coefficients.
+        """Default undistortion solver for this camera's coefficients.
 
         Closed-form for k1-only (exact under extreme distortion), Oulu fixed
         point otherwise; ``ops.projection.undistort`` makes the same choice
-        from concrete coefficients.
+        from concrete coefficients. Callers can override per call via the
+        ``method`` argument of :meth:`uv_to_xyz` / :meth:`_uv_to_xy`.
         """
         return "oulu"
 
@@ -463,10 +477,11 @@ class Camera:
             self.k, self.p, xp=np,
         )
 
-    def _uv_to_xy(self, uv: np.ndarray) -> np.ndarray:
+    def _uv_to_xy(self, uv: np.ndarray, method: str = None, **kwargs: Any) -> np.ndarray:
         return proj.image_to_camera(
             np.asarray(uv, dtype=float), self._vector[proj.IMGSZ], self.f, self.c,
-            self.k, self.p, method=self._undistort_method(), xp=np,
+            self.k, self.p, method=method or self._undistort_method(), xp=np,
+            **kwargs,
         )
 
     def _xy_to_xyz(self, xy: np.ndarray, directions: bool = True, depth: Vector = 1):

@@ -279,6 +279,17 @@ def undistort_lookup(xy, k, p, imgsz, f, c, density: float = 1.0):
     )
     UX, UY = np.meshgrid(ux, uy)
     uxy = np.column_stack((UX.ravel(), UY.ravel()))
+    # Keep only the principal (monotone) branch of the radial map: beyond the
+    # fold the distorted->undistorted relation is multivalued and scattered
+    # interpolation would blend branches (improves on reference
+    # camera.py:1266-1303, which samples the full frame).
+    radii = np.linspace(0, np.hypot(uxy[:, 0], uxy[:, 1]).max(), 2048)
+    probe = np.column_stack((radii, np.zeros_like(radii)))
+    distorted_radii = distort(probe, k, p, np)[:, 0]
+    folds = np.flatnonzero(np.diff(distorted_radii) <= 0)
+    if folds.size:
+        r_max = radii[folds[0]]
+        uxy = uxy[uxy[:, 0] ** 2 + uxy[:, 1] ** 2 <= r_max ** 2]
     dxy = distort(uxy, k, p, np)
     return scipy.interpolate.griddata(dxy, uxy, xy, method="linear")
 
@@ -304,6 +315,10 @@ def undistort(xy, k, p, method: str = "oulu", xp=np, **kwargs):
         return undistort_oulu(xy, k, p, xp=xp, **kwargs)
     if method == "regulafalsi":
         return undistort_regulafalsi(xy, k, p, xp=xp, **kwargs)
+    if method == "lookup":
+        if not _is_numpy(xp):
+            raise ValueError("Lookup undistortion is host-only (use xp=numpy)")
+        return undistort_lookup(xy, k, p, **kwargs)
     raise ValueError(f"Undistort method not supported: {method}")
 
 
@@ -383,6 +398,8 @@ def camera_to_image(xy, imgsz, f, c, k, p, xp=np):
 def image_to_camera(uv, imgsz, f, c, k, p, method: str = "oulu", xp=np, **kwargs):
     """Normalize pixels to camera coordinates and undistort (camera.py:1510-1519)."""
     xy = (uv - (imgsz * 0.5 + c)) * (1 / f)
+    if method == "lookup":
+        kwargs = {"imgsz": imgsz, "f": f, "c": c, **kwargs}
     return undistort(xy, k, p, method=method, xp=xp, **kwargs)
 
 

@@ -307,3 +307,28 @@ def test_device_roundtrip_fuzz_random_cameras() -> None:
         )(vec, xyz)
         err = float(jnp.max(jnp.abs(uv2 - jnp.asarray(uv, jnp.float32))))
         assert err < 1e-2, f"trial {trial}: round-trip error {err}"
+
+
+def test_nonreversible_camera_undistort_method_dispatch() -> None:
+    """Non-reversible multi-coefficient cameras round-trip via the method kwarg.
+
+    The Oulu fixed point may diverge when the distortion map folds
+    (reference camera.py:1198-1230 lets the caller pick the solver); the
+    lookup and regula falsi solvers must be reachable from the public API.
+    """
+    cam = Camera(
+        imgsz=(100, 80), f=80,
+        k=(-2.0, 0.2, -0.02, 0, 0, 0), p=(0.01, -0.01),
+    )
+    assert not cam.reversible()
+    # Central pixels, away from the folded rim.
+    uv = np.array([[40.0, 35.0], [50.0, 40.0], [60.0, 45.0], [45.0, 42.0]])
+    for method in ("regulafalsi", "lookup"):
+        xyz = cam.uv_to_xyz(uv, method=method)
+        uv_back = cam.xyz_to_uv(xyz, directions=True)
+        err = np.nanmax(np.abs(uv_back - uv))
+        assert err < 0.05, f"{method}: round-trip error {err}"
+    # regulafalsi should be solver-grade accurate at these points.
+    xyz = cam.uv_to_xyz(uv, method="regulafalsi")
+    uv_back = cam.xyz_to_uv(xyz, directions=True)
+    assert np.nanmax(np.abs(uv_back - uv)) < 1e-6
