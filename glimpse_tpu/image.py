@@ -7,6 +7,7 @@ vectorized sampling ops. Camera parameters missing from the constructor are
 auto-filled from EXIF (imgsz, fmm, sensorsz) via :class:`glimpse_tpu.Exif`.
 """
 import datetime as datetime_module
+import threading
 from pathlib import Path
 from typing import Any, Iterable, Optional, Tuple, Union
 
@@ -37,6 +38,19 @@ class Image:
         self.datetime = datetime if datetime else self._metadata.datetime
         self.exif = self._exif
         self.array: Optional[np.ndarray] = None
+        # Guards first-read cache population when Tracker runs per-track
+        # worker threads against shared Observers (the reference relied on
+        # fork isolation instead).
+        self._cache_lock = threading.Lock()
+
+    def __getstate__(self) -> dict:
+        state = self.__dict__.copy()
+        state.pop("_cache_lock", None)  # locks don't pickle
+        return state
+
+    def __setstate__(self, state: dict) -> None:
+        self.__dict__.update(state)
+        self._cache_lock = threading.Lock()
 
     @property
     def _metadata(self) -> Exif:
@@ -91,35 +105,34 @@ class Image:
         coordinates. Cached reads slice the cached full image; uncached reads
         decode only the needed window.
         """
-        size = self._cache_imgsz or self._path_imgsz
         cam_size = tuple(int(v) for v in self.cam.imgsz)
-        resize = cam_size != tuple(size)
-        new_array = True
-        if self.array is not None and not resize:
-            array = self.array
-            new_array = False
-        else:
+        if box is not None and not cache and self.array is None:
+            # Windowed uncached read: decode only the needed region.
             with PILImage.open(self.path) as im:
-                if box is not None and not cache:
-                    xscale = im.size[0] / cam_size[0]
-                    yscale = im.size[1] / cam_size[1]
-                    window = (
-                        int(round(box[0] * xscale)),
-                        int(round(box[1] * yscale)),
-                        int(round(box[2] * xscale)),
-                        int(round(box[3] * yscale)),
-                    )
-                    im = im.crop(window)
-                    target = (int(box[2] - box[0]), int(box[3] - box[1]))
-                    if im.size != target:
-                        im = im.resize(target, PILImage.BILINEAR)
-                    return np.asarray(im)
-                if resize:
-                    im = im.resize(cam_size, PILImage.BILINEAR)
-                array = np.asarray(im)
-            if cache:
-                self.array = array
-        if box is not None and (cache or not new_array):
+                xscale = im.size[0] / cam_size[0]
+                yscale = im.size[1] / cam_size[1]
+                window = (
+                    int(round(box[0] * xscale)),
+                    int(round(box[1] * yscale)),
+                    int(round(box[2] * xscale)),
+                    int(round(box[3] * yscale)),
+                )
+                im = im.crop(window)
+                target = (int(box[2] - box[0]), int(box[3] - box[1]))
+                if im.size != target:
+                    im = im.resize(target, PILImage.BILINEAR)
+                return np.asarray(im)
+        with self._cache_lock:
+            array = self.array
+            stale = array is not None and (array.shape[1], array.shape[0]) != cam_size
+            if array is None or stale:
+                with PILImage.open(self.path) as im:
+                    if im.size != cam_size:
+                        im = im.resize(cam_size, PILImage.BILINEAR)
+                    array = np.asarray(im)
+                if cache:
+                    self.array = array
+        if box is not None:
             array = array[int(box[1]) : int(box[3]), int(box[0]) : int(box[2])]
         return array
 

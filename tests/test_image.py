@@ -1,5 +1,6 @@
 """Image class tests (contracts from /root/reference/tests/test_image.py)."""
 import datetime
+from datetime import datetime as _dt
 from pathlib import Path
 
 import numpy as np
@@ -80,3 +81,53 @@ def test_projects_into_rotated_camera() -> None:
     # Rotating right/up pushes content to lower-left; upper-right is empty.
     assert np.isnan(A[0, -1]).all()
     assert np.isfinite(A[-1, 0]).all()
+
+
+def test_concurrent_first_read_decodes_once(tmp_path):
+    """Parallel first reads share one decode and one cached array."""
+    import threading
+
+    from PIL import Image as PILImage
+
+    path = tmp_path / "img.png"
+    PILImage.fromarray(np.arange(60 * 40, dtype=np.uint8).reshape(60, 40) % 255).save(
+        path
+    )
+    img = Image(path, cam={"imgsz": (40, 60), "f": 100}, datetime=_dt.now())
+
+    decodes = []
+    original_open = PILImage.open
+
+    def counting_open(*args, **kwargs):
+        decodes.append(1)
+        return original_open(*args, **kwargs)
+
+    results = []
+    PILImage.open = counting_open
+    try:
+        threads = [
+            threading.Thread(target=lambda: results.append(img.read(cache=True)))
+            for _ in range(8)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+    finally:
+        PILImage.open = original_open
+    assert len(results) == 8
+    for r in results[1:]:
+        assert r is results[0]  # all threads share the cached array
+    assert len(decodes) == 1  # the file was decoded exactly once
+
+
+def test_image_pickles_without_lock(tmp_path):
+    import pickle
+
+    from PIL import Image as PILImage
+
+    path = tmp_path / "img.png"
+    PILImage.fromarray(np.zeros((8, 8), dtype=np.uint8)).save(path)
+    img = Image(path, cam={"imgsz": (8, 8), "f": 10}, datetime=_dt.now())
+    clone = pickle.loads(pickle.dumps(img))
+    assert clone.read(cache=False).shape == (8, 8)
