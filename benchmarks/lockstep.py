@@ -1,0 +1,228 @@
+"""Lockstep equivalence: device BatchTracker vs host Tracker on shared noise.
+
+BASELINE.md's north star asks for device trajectories "within 0.1 px" of the
+NumPy reference. Two independently seeded particle filters each carry ~0.1 px
+of Monte-Carlo noise, so comparing free-running filters measures that noise,
+not implementation fidelity. This benchmark instead drives BOTH trackers
+with the SAME pre-generated random draws (initial particles, acceleration
+noise, systematic-resampling comb offsets), so every remaining difference
+comes from the implementations themselves: projection math, tile extraction
+and histogram matching, the SSE kernel (cv2-equivalent conv vs host loop),
+and spline sampling of the SSE surface.
+
+Prints one JSON line with the max and RMSE trajectory divergence in pixels
+over every (point, frame) pair.
+
+Run on CPU (deterministic):
+    python benchmarks/lockstep.py
+"""
+import copy
+import datetime
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+class _DrivenCartesianMotion:
+    """CartesianMotion consuming pre-generated standard-normal draws."""
+
+    def __init__(self, base, init_xy, init_v, accel):
+        self._base = base
+        self._init_xy = init_xy  # (P, 2)
+        self._init_v = init_v  # (P, 3)
+        self._accel = accel  # (T-1, P, 3)
+        self._step = 0
+
+    def __getattr__(self, name):
+        return getattr(self._base, name)
+
+    def initialize_particles(self):
+        m = self._base
+        particles = np.zeros((m.n, 6), dtype=float)
+        particles[:, 0:2] = m.xy + np.asarray(m.xy_sigma) * self._init_xy
+        particles[:, 2] = m.dem.sample(particles[:, 0:2])
+        particles[:, 3:6] = m.vxyz + np.asarray(m.vxyz_sigma) * self._init_v
+        return particles
+
+    def evolve_particles(self, particles, dt):
+        m = self._base
+        units = dt.total_seconds() / m.time_unit.total_seconds()
+        axyz = m.axyz + np.asarray(m.axyz_sigma) * self._accel[self._step]
+        self._step += 1
+        particles[:, 0:3] += units * particles[:, 3:6] + 0.5 * axyz * units ** 2
+        particles[:, 3:6] += units * axyz
+
+    def compute_log_likelihoods(self, particles):
+        return self._base.compute_log_likelihoods(particles)
+
+
+def run_lockstep(n_points=50, n_particles=500, n_frames=20, x64=False) -> dict:
+    """Run the lockstep comparison; returns the result dict."""
+    import scipy.ndimage
+
+    import jax
+    import jax.numpy as jnp
+
+    from glimpse_tpu import Camera
+    from glimpse_tpu.raster import Raster
+    from glimpse_tpu.track import CartesianMotion, Observer, Tracker
+    from glimpse_tpu.track.batch import (
+        BatchConfig,
+        BatchMotion,
+        BatchTracker,
+        DeviceRaster,
+    )
+    imgsz = 384
+    velocity = (1.2, -0.7)
+    prior_v = (1.0, -0.5)  # coarse velocity prior, deliberately offset
+
+    rng = np.random.default_rng(3)
+    base = scipy.ndimage.gaussian_filter(
+        rng.normal(size=(imgsz, imgsz)), 0.8
+    ).astype(np.float64) * 100
+    frames = np.stack(
+        [
+            scipy.ndimage.shift(
+                base, (-velocity[1] * i, velocity[0] * i), order=3, mode="nearest"
+            )
+            for i in range(n_frames)
+        ]
+    ).astype(np.float32)
+
+    cam = Camera(
+        imgsz=imgsz, f=imgsz, xyz=(imgsz / 2, imgsz / 2, imgsz), viewdir=(0, -90, 0)
+    )
+    cx, cy = cam.xyz[0], cam.xyz[1]
+    starts = rng.uniform(80, imgsz - 80, size=(n_points, 2))
+
+    # ---- Shared random draws ----
+    noise_rng = np.random.default_rng(77)
+    init_xy = noise_rng.standard_normal((n_points, n_particles, 2))
+    init_v = noise_rng.standard_normal((n_points, n_particles, 3))
+    accel = noise_rng.standard_normal((n_frames - 1, n_points, n_particles, 3))
+    resample_u = noise_rng.random((n_frames - 1, n_points))
+
+    t0 = datetime.datetime(2020, 1, 1)
+    day = datetime.timedelta(days=1)
+    rasters = [
+        Raster(
+            f,
+            x=(cx - imgsz / 2, cx + imgsz / 2),
+            y=(cy + imgsz / 2, cy - imgsz / 2),
+            datetime=t0 + i * day,
+        )
+        for i, f in enumerate(frames)
+    ]
+    sigma = 0.15
+    xy_sigma, v_sigma, a_sigma = 1.5, 0.5, 0.2
+
+    # ---- Host: reference-faithful building blocks, driven noise ----
+    host = Tracker([Observer(rasters, sigma=sigma)])
+    host_means = np.zeros((n_points, n_frames - 1, 2))
+    for i in range(n_points):
+        motion = _DrivenCartesianMotion(
+            CartesianMotion(
+                xy=tuple(starts[i]), time_unit=day, dem=0.0, dem_sigma=None,
+                n=n_particles, xy_sigma=(xy_sigma, xy_sigma),
+                vxyz=(prior_v[0], prior_v[1], 0),
+                vxyz_sigma=(v_sigma, v_sigma, 0),
+                axyz_sigma=(a_sigma, a_sigma, 0),
+            ),
+            init_xy[i], init_v[i], accel[:, i],
+        )
+        worker = copy.copy(host)
+        worker.reset()
+        worker.particles = motion.initialize_particles()
+        worker.initialize_weights()
+        worker.initialize_template(obs=0, img=0, tile_size=(15, 15))
+        for t in range(1, n_frames):
+            motion.evolve_particles(worker.particles, dt=day)
+            worker.update_weights(imgs=[t], motion_model=motion)
+            w = worker.weights / worker.weights.sum()
+            host_means[i, t - 1] = (worker.particles[:, 0:2] * w[:, None]).sum(0)
+            # Systematic resampling with the shared comb offset.
+            positions = (np.arange(n_particles) + resample_u[t - 1, i]) / n_particles
+            idx = np.searchsorted(np.cumsum(w), positions)
+            worker.particles = worker.particles[idx]
+            worker.weights = worker.weights[idx]
+
+    # ---- Device: identical draws through the injection path ----
+    dtype = jnp.float32
+    if x64:
+        jax.config.update("jax_enable_x64", True)
+        dtype = jnp.float64
+    motion = BatchMotion(
+        kind="cartesian",
+        xy=jnp.asarray(starts, dtype),
+        xy_sigma=jnp.full((n_points, 2), xy_sigma, dtype),
+        v_mean=jnp.tile(jnp.asarray([*prior_v, 0.0], dtype), (n_points, 1)),
+        v_sigma=jnp.full((n_points, 3), v_sigma, dtype).at[:, 2].set(0.0),
+        a_mean=jnp.zeros((n_points, 3), dtype),
+        a_sigma=jnp.full((n_points, 3), a_sigma, dtype).at[:, 2].set(0.0),
+        slope_sigma=jnp.zeros((n_points,), dtype),
+        dem=DeviceRaster.constant(0.0),
+        dem_sigma=DeviceRaster.constant(0.0),
+        use_dem_sigma=False,
+    )
+    cfg = BatchConfig(
+        n_particles=n_particles, template_size=(15, 15), search_size=(41, 41),
+        dtype=dtype,
+    )
+    batch = BatchTracker(
+        camera_vectors=cam.to_array()[None], corrections=[None], sigmas=[sigma],
+        motion=motion, config=cfg,
+    )
+    _, outputs = batch.track(
+        jax.random.PRNGKey(0), frames[:, None],
+        np.ones(n_frames - 1, np.float32),
+        noise={
+            "init": {
+                "xy": jnp.asarray(init_xy, dtype),
+                "v": jnp.asarray(init_v, dtype),
+            },
+            "a": jnp.asarray(accel, dtype),
+            "resample_u": jnp.asarray(resample_u, dtype),
+        },
+    )
+    batch_means = np.moveaxis(np.asarray(outputs["mean"])[:, :, 0:2], 0, 1)
+
+    diff = np.linalg.norm(batch_means - host_means, axis=-1)
+    truth = starts[:, None, :] + np.asarray(velocity) * np.arange(
+        1, n_frames
+    ).reshape(1, -1, 1)
+    err_host = np.linalg.norm(host_means - truth, axis=-1)
+    err_batch = np.linalg.norm(batch_means - truth, axis=-1)
+    return {
+        "config": f"{n_points} points x {n_particles} particles x "
+                  f"{n_frames} frames (lockstep noise)",
+        "dtype": "float64" if x64 else "float32",
+        "rmse_device_vs_host_px": round(float(np.sqrt((diff ** 2).mean())), 4),
+        "max_device_vs_host_px": round(float(diff.max()), 4),
+        "rmse_host_vs_truth_px": round(float(np.sqrt((err_host ** 2).mean())), 4),
+        "rmse_device_vs_truth_px": round(float(np.sqrt((err_batch ** 2).mean())), 4),
+    }
+
+
+def main() -> None:
+    if os.environ.get("LOCKSTEP_PLATFORM", "cpu") == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    print(
+        json.dumps(
+            run_lockstep(
+                n_points=int(os.environ.get("LOCKSTEP_POINTS", 50)),
+                n_particles=int(os.environ.get("LOCKSTEP_PARTICLES", 500)),
+                n_frames=int(os.environ.get("LOCKSTEP_FRAMES", 20)),
+                x64=bool(os.environ.get("LOCKSTEP_X64")),
+            )
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -62,13 +62,16 @@ def resample_np(
 # ---- JAX device versions ---- #
 
 
-def systematic_jax(key, weights):
+def systematic_jax(key, weights, u=None):
     import jax
     import jax.numpy as jnp
 
     n = weights.shape[-1]
     w = weights / jnp.sum(weights, axis=-1, keepdims=True)
-    u = jax.random.uniform(key, weights.shape[:-1] + (1,))
+    if u is None:
+        u = jax.random.uniform(key, weights.shape[:-1] + (1,))
+    else:
+        u = jnp.reshape(u, weights.shape[:-1] + (1,))
     positions = (jnp.arange(n) + u) / n
     cum = jnp.cumsum(w, axis=-1)
     return _batched_searchsorted(cum, positions, queries_sorted=True)
@@ -160,8 +163,16 @@ def _batched_searchsorted(sorted_arrays, values, side: str = "left",
     return jnp.clip(insertion, 0, P - 1)
 
 
-def resample_jax(key, weights, method: str = "systematic"):
-    """Resample indices on device; batched over leading axes."""
+def resample_jax(key, weights, method: str = "systematic", u=None):
+    """Resample indices on device; batched over leading axes.
+
+    ``u`` optionally injects the systematic comb offset (for deterministic
+    lockstep validation against the host resampler).
+    """
+    if u is not None:
+        if method != "systematic":
+            raise ValueError("Offset injection only supported for 'systematic'")
+        return systematic_jax(key, weights, u=u)
     fn = {
         "systematic": systematic_jax,
         "stratified": stratified_jax,

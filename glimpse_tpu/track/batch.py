@@ -198,18 +198,30 @@ class BatchMotion:
             use_dem_sigma=dem_sigma is not None,
         )
 
-    def initialize(self, key, n_particles: int):
-        """Initial particles (N, P, 6)."""
+    def initialize(self, key, n_particles: int, noise=None):
+        """Initial particles (N, P, 6).
+
+        ``noise`` optionally injects the standard-normal draws (keys "xy"
+        (N,P,2), "z" (N,P), "v" (N,P,3)) for lockstep validation against the
+        host motion models.
+        """
         N, P = self.n_points, n_particles
+        noise = noise or {}
         k1, k2, k3 = jax.random.split(key, 3)
-        xy = self.xy[:, None, :] + self.xy_sigma[:, None, :] * jax.random.normal(
-            k1, (N, P, 2)
-        )
+        xy_noise = noise.get("xy", None)
+        if xy_noise is None:
+            xy_noise = jax.random.normal(k1, (N, P, 2))
+        xy = self.xy[:, None, :] + self.xy_sigma[:, None, :] * xy_noise
         z = self.dem.sample(xy)
         if self.use_dem_sigma:
             z_sigma = self.dem_sigma.sample(xy)
-            z = z + z_sigma * jax.random.normal(k2, (N, P))
-        v_noise = jax.random.normal(k3, (N, P, 3))
+            z_noise = noise.get("z", None)
+            if z_noise is None:
+                z_noise = jax.random.normal(k2, (N, P))
+            z = z + z_sigma * z_noise
+        v_noise = noise.get("v", None)
+        if v_noise is None:
+            v_noise = jax.random.normal(k3, (N, P, 3))
         v = self.v_mean[:, None, :] + self.v_sigma[:, None, :] * v_noise
         if self.kind in ("cylindrical", "tangent_cylindrical"):
             vx = v[..., 0] * jnp.cos(v[..., 1])
@@ -220,11 +232,18 @@ class BatchMotion:
             v = v.at[..., 2].set(0.0)
         return jnp.concatenate([xy, z[..., None], v], axis=-1)
 
-    def evolve(self, key, particles, dt_units):
-        """One motion step (N, P, 6) -> (N, P, 6)."""
+    def evolve(self, key, particles, dt_units, noise=None):
+        """One motion step (N, P, 6) -> (N, P, 6).
+
+        ``noise`` optionally injects the standard-normal draws (keys "a"
+        (N,P,3), "zwalk" (N,P)) for lockstep validation.
+        """
+        noise = noise or {}
         k1, k2 = jax.random.split(key)
         N, P = particles.shape[0], particles.shape[1]
-        a_noise = jax.random.normal(k1, (N, P, 3))
+        a_noise = noise.get("a", None)
+        if a_noise is None:
+            a_noise = jax.random.normal(k1, (N, P, 3))
         a = self.a_mean[:, None, :] + self.a_sigma[:, None, :] * a_noise
         if self.kind in ("cylindrical", "tangent_cylindrical"):
             vx, vy = particles[..., 3], particles[..., 4]
@@ -242,10 +261,11 @@ class BatchMotion:
             # z offsets survive resampling by reconstruction from current z.
             z_offsets = particles[..., 2] - self.dem.sample(particles[..., 0:2])
             step_len = jnp.sqrt(jnp.sum(dxyz[..., 0:2] ** 2, axis=-1))
+            walk_noise = noise.get("zwalk", None)
+            if walk_noise is None:
+                walk_noise = jax.random.normal(k2, (N, P))
             z_offsets = z_offsets + (
-                self.slope_sigma[:, None]
-                * jax.random.normal(k2, (N, P))
-                * step_len
+                self.slope_sigma[:, None] * walk_noise * step_len
             )
             xy = particles[..., 0:2] + dxyz[..., 0:2]
             z = self.dem.sample(xy) + z_offsets
@@ -304,6 +324,12 @@ class BatchConfig:
     highpass_mode: str = "auto"  # 'auto' | 'xla' | 'pallas'
     # Whether step outputs include full 6x6 weighted covariances.
     return_covariances: bool = False
+    # Effective-sample-size-triggered resampling: None resamples every step
+    # and overwrites weights with the per-step likelihood (reference
+    # tracker.py:126-223 parity). A fraction in (0, 1] switches to proper
+    # SIR weight accumulation, resampling a point only when its ESS drops
+    # below ``resample_threshold * n_particles`` — less resampling noise.
+    resample_threshold: Any = None
     # Keep float32: bfloat16 runs but measured ~7x worse trajectory accuracy
     # with no speed gain (the step is sort/gather-bound, not matmul-bound).
     dtype: Any = jnp.float32 if jnp is not None else None
@@ -709,16 +735,18 @@ class BatchTracker:
 
     # -- initialization -- #
 
-    def initialize(self, key, images0) -> BatchState:
+    def initialize(self, key, images0, noise=None) -> BatchState:
         """Initialize particles, weights, and templates from the first frame.
 
         ``images0``: (O, H, W) float image per observer at template time.
+        ``noise`` optionally injects the initial standard-normal draws
+        (see :meth:`BatchMotion.initialize`).
         """
         cfg = self.config
         N = self.motion.n_points
         th, tw = cfg.template_size
         key, sub = jax.random.split(key)
-        particles = self.motion.initialize(sub, cfg.n_particles)
+        particles = self.motion.initialize(sub, cfg.n_particles, noise=noise)
         weights = jnp.ones((N, cfg.n_particles), dtype=cfg.dtype)
         templates, tables, duvs = [], [], []
         for o in range(self.n_observers):
@@ -760,19 +788,24 @@ class BatchTracker:
 
     # -- single step -- #
 
-    def step(self, state: BatchState, images, dt_units) -> Tuple[BatchState, dict]:
+    def step(
+        self, state: BatchState, images, dt_units, noise=None
+    ) -> Tuple[BatchState, dict]:
         """One PF update: evolve -> weight by all observers -> resample.
 
         ``images``: (O, H, W) frame per observer. ``dt_units``: scalar time
-        step in motion time units. Returns (new state, outputs dict).
+        step in motion time units. ``noise`` optionally injects the random
+        draws (see :meth:`BatchMotion.evolve`; plus "resample_u" (N,)) for
+        lockstep validation. Returns (new state, outputs dict).
         """
         cfg = self.config
+        noise = noise or {}
         key = state.key
         key, k_evolve, k_resample = jax.random.split(key, 3)
         # Motion parameters are float32; keep the carried state in cfg.dtype
         # (scan requires carry-type stability, e.g. for bfloat16 configs).
         particles = self.motion.evolve(
-            k_evolve, state.particles, dt_units
+            k_evolve, state.particles, dt_units, noise=noise
         ).astype(cfg.dtype)
         ll = self.motion.log_likelihoods(particles).astype(cfg.dtype)
         for o in range(self.n_observers):
@@ -790,13 +823,40 @@ class BatchTracker:
             )
         # Per-point shift keeps exp() in range regardless of absolute scale.
         ll = ll - jnp.min(ll, axis=-1, keepdims=True)
-        weights = (jnp.exp(-ll) + 1e-30).astype(cfg.dtype)
-        idx = resampling.resample_jax(k_resample, weights, cfg.resample_method)
+        P = particles.shape[1]
+        if cfg.resample_threshold is None:
+            # Reference parity: per-step likelihood overwrite + resample.
+            weights = (jnp.exp(-ll) + 1e-30).astype(cfg.dtype)
+        else:
+            # Proper SIR: accumulate importance weights across steps.
+            weights = state.weights * jnp.exp(-ll).astype(cfg.dtype) + 1e-30
+            weights = weights / jnp.mean(weights, axis=-1, keepdims=True)
+        # Record the posterior moments from the fresh likelihood weights
+        # (before resampling): the post-resample gathered-weight estimator
+        # effectively weights particles by likelihood^2 and is noisier.
+        mean, sigma = particle_moments(particles, weights)
+        if cfg.return_covariances:
+            covariance = particle_covariances(particles, weights)
+        idx = resampling.resample_jax(
+            k_resample, weights, cfg.resample_method,
+            u=noise.get("resample_u", None),
+        )
+        if cfg.resample_threshold is not None:
+            # Resample only points whose effective sample size has degraded.
+            ess = jnp.sum(weights, axis=-1) ** 2 / jnp.sum(
+                weights * weights, axis=-1
+            )
+            degraded = ess < cfg.resample_threshold * P
+            idx = jnp.where(degraded[:, None], idx, jnp.arange(P)[None, :])
         # One fused (N, P, 7) row gather replicates particles + weights
         # together: ~2x faster on TPU than two separate take_along_axis.
         pw = jnp.concatenate([particles, weights[..., None]], axis=-1)
         pw = jnp.take_along_axis(pw, idx[..., None], axis=1)
         particles, weights = pw[..., :6], pw[..., 6]
+        if cfg.resample_threshold is not None:
+            weights = jnp.where(
+                degraded[:, None], jnp.ones_like(weights), weights
+            )
         new_state = BatchState(
             particles=particles,
             weights=weights,
@@ -806,10 +866,9 @@ class BatchTracker:
             template_duv=state.template_duv,
             step=state.step + 1,
         )
-        mean, sigma = particle_moments(particles, weights)
         outputs = {"mean": mean, "sigma": sigma}
         if cfg.return_covariances:
-            outputs["covariance"] = particle_covariances(particles, weights)
+            outputs["covariance"] = covariance
         return new_state, outputs
 
     # -- full sequence -- #
@@ -844,7 +903,7 @@ class BatchTracker:
 
         return jax.jit(run)
 
-    def track(self, key, images, dts) -> Tuple[BatchState, dict]:
+    def track(self, key, images, dts, noise=None) -> Tuple[BatchState, dict]:
         """Track through a sequence held in device memory.
 
         Arguments:
@@ -852,6 +911,9 @@ class BatchTracker:
             images: (T, O, H, W) image sequence (frame 0 initializes
                 templates; frames 1..T-1 are observations).
             dts: (T-1,) time steps in motion time units.
+            noise: Optional injected random draws for lockstep validation:
+                {"init": {"xy","z","v"}, "a": (T-1,N,P,3),
+                 "zwalk": (T-1,N,P), "resample_u": (T-1,N)} (all optional).
 
         Returns:
             (final state, outputs) where outputs['mean'] is (T-1, N, 6) and
@@ -862,10 +924,25 @@ class BatchTracker:
             from ..parallel.mesh import replicated_sharding
 
             images = jax.device_put(images, replicated_sharding(self.mesh))
-        state, outputs = self._track_jit(
-            key, images, jnp.asarray(dts, dtype=self.config.dtype)
-        )
-        return state, outputs
+        dts = jnp.asarray(dts, dtype=self.config.dtype)
+        if noise is None:
+            return self._track_jit(key, images, dts)
+        # Lockstep path: thread the per-step draws through the scan.
+        init_noise = noise.get("init", None)
+        step_noise = {
+            k: jnp.asarray(noise[k])
+            for k in ("a", "zwalk", "resample_u")
+            if k in noise
+        }
+        state = jax.jit(self.initialize)(key, images[0], noise=init_noise)
+
+        def body(carry, xs):
+            frame, dt, per_step = xs
+            return self.step(carry, frame, dt, noise=per_step)
+
+        return jax.jit(
+            lambda s, im, d, sn: jax.lax.scan(body, s, (im, d, sn))
+        )(state, images[1:], dts, step_noise)
 
     def track_stream(self, key, first_frame, frame_iter, dts) -> Tuple[BatchState, list]:
         """Track a sequence streamed frame by frame from the host.

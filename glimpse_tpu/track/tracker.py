@@ -82,6 +82,7 @@ class Tracker:
         highpass: dict = {"size": (5, 5)},
         interpolation: dict = {"kx": 3, "ky": 3},
         seed: Optional[int] = None,
+        record: str = "resampled",
     ) -> None:
         self.observers = list(observers)
         self.viewshed = viewshed
@@ -89,6 +90,12 @@ class Tracker:
         self.highpass = highpass
         self.interpolation = interpolation
         self.rng = np.random.default_rng(seed)
+        # 'resampled' records moments after resampling (reference
+        # tracker.py:346-357 parity); 'posterior' records them from the
+        # fresh likelihood weights, a lower-variance estimator.
+        if record not in ("resampled", "posterior"):
+            raise ValueError(f"record must be 'resampled' or 'posterior': {record}")
+        self.record = record
         self.particles: Optional[np.ndarray] = None
         self.weights: Optional[np.ndarray] = None
         self.templates: Optional[list] = None
@@ -449,8 +456,13 @@ class Tracker:
                     for img, keep in zip(frame_table[i], obs_mask)
                 ]
                 self.update_weights(imgs=imgs, motion_model=motion_model)
+                if self.record == "posterior":
+                    # Low-variance estimator: moments from the fresh
+                    # likelihood weights, before resampling injects noise.
+                    record(i, self)
                 self.resample_particles()
-            record(i, self)
+            if self.record != "posterior" or i == first:
+                record(i, self)
 
     def _assemble_tracks(
         self, per_track, datetimes, time_unit, frame_table, call_params,
