@@ -45,12 +45,17 @@ def _polar_elevation_angles(
     dr_cells: float,
     correction: Optional[Tuple[float, float]],
     xp,
+    sample_mode: str = "bilinear",
+    distance_mode: str = "polar",
 ):
     """Sample elevation angles on a polar grid (headings, radii).
 
     ``origin_rc`` is the viewpoint in fractional (row, col) index space;
     radii are in cells. Angles at NaN samples are NEG_INF (no blocking).
-    Returns (angles, radii_cells, thetas).
+    ``sample_mode='nearest'`` takes cell-center values (the reference's ring
+    sweep interpolates between cell centers, raster.py:1327-1340) and
+    ``distance_mode='cell'`` measures distance to the sampled cell's center
+    rather than to the polar sample. Returns (angles, radii_cells, thetas).
     """
     thetas = xp.arange(n_headings) * (2 * math.pi / n_headings) - math.pi
     radii = (xp.arange(n_radii) + 1.0) * dr_cells
@@ -61,8 +66,22 @@ def _polar_elevation_angles(
     cols = origin_rc[1] + dx
     H, W = array.shape
     inside = (rows >= 0) & (rows <= H - 1) & (cols >= 0) & (cols <= W - 1)
-    z = bilinear_sample(array, xp.clip(rows, 0, H - 1), xp.clip(cols, 0, W - 1), xp=xp)
-    dist = radii[None, :] * cellsize
+    rows_c = xp.clip(rows, 0, H - 1)
+    cols_c = xp.clip(cols, 0, W - 1)
+    if sample_mode == "nearest":
+        ri = xp.round(rows_c).astype(int)
+        ci = xp.round(cols_c).astype(int)
+        z = array[ri, ci]
+    else:
+        z = bilinear_sample(array, rows_c, cols_c, xp=xp)
+    if distance_mode == "cell" and sample_mode == "nearest":
+        # Distance to the sampled cell's center (reference semantics).
+        dr_ = ri - origin_rc[0]
+        dc_ = ci - origin_rc[1]
+        dist = xp.sqrt(dr_ * dr_ + dc_ * dc_) * cellsize
+        dist = xp.where(dist > 0, dist, 1e-9)
+    else:
+        dist = radii[None, :] * cellsize
     dz = z - origin_z
     if correction is not None:
         radius_e, refraction = correction
@@ -79,6 +98,9 @@ def viewshed(
     cellsize: float,
     correction: Optional[Tuple[float, float]] = None,
     oversample: float = 2.0,
+    backoff: float = 1.0,
+    sample_mode: str = "bilinear",
+    distance_mode: str = "polar",
     xp=np,
 ):
     """Binary viewshed of a DEM from a viewpoint.
@@ -111,7 +133,7 @@ def viewshed(
     n_headings = int(min(max(int(math.ceil(2 * math.pi * r_max * oversample)), 64), 8192))
     angles, radii, thetas = _polar_elevation_angles(
         array, origin_rc, origin_z, cellsize, n_headings, n_radii, dr_cells,
-        correction, xp,
+        correction, xp, sample_mode=sample_mode, distance_mode=distance_mode,
     )
     # Blocking envelope: max elevation angle over strictly smaller radii.
     cmax = _cummax(angles, axis=1, xp=xp)
@@ -132,9 +154,10 @@ def viewshed(
         dz = dz + (refraction - 1) * (dist * dist) / (2 * radius_e)
     safe_dist = xp.where(dist > 0, dist, 1.0)
     cell_angle = dz / safe_dist
-    # Envelope lookup just inside the cell's own radius: back off by one cell
-    # radius so same-cell polar samples cannot self-block.
-    j = xp.floor((cell_r - 1.0) / dr_cells).astype(int)
+    # Envelope lookup just inside the cell's own radius: back off by
+    # ``backoff`` cell radii so same-cell polar samples cannot self-block
+    # (1.0 is safe; ~0.5 matches the reference's ring granularity).
+    j = xp.floor((cell_r - backoff) / dr_cells).astype(int)
     j = xp.clip(j, 0, n_radii - 1)
     k = xp.round((cell_theta + math.pi) / (2 * math.pi / n_headings)).astype(int)
     k = k % n_headings
@@ -144,6 +167,69 @@ def viewshed(
     at_origin = cell_r < 0.5
     visible = visible | (at_origin & ~xp.isnan(array))
     return visible
+
+
+def viewshed_rings(
+    array,
+    origin_rc: Tuple[float, float],
+    origin_z: float,
+    cellsize: float,
+    correction: Optional[Tuple[float, float]] = None,
+) -> np.ndarray:
+    """Reference-semantics ring-sweep viewshed (host-only, NumPy).
+
+    Reproduces the reference algorithm exactly (raster.py:1293-1389): cells
+    are bucketed into integer-radius rings, swept outward with a
+    max-elevation-angle envelope linearly interpolated over heading
+    (period 2*pi). Sequential over rings, vectorized within each — use for
+    bit-parity with the reference; the polar :func:`viewshed` is the
+    device-friendly formulation.
+    """
+    H, W = array.shape
+    r0, c0 = origin_rc
+    drow = np.arange(H)[:, None] - r0
+    dcol = np.arange(W)[None, :] - c0
+    dist = np.sqrt(drow * drow + dcol * dcol).ravel() * cellsize
+    dz = array.ravel() - origin_z
+    if correction is not None:
+        radius_e, refraction = correction
+        dz = dz + (refraction - 1) * dist * dist / (2 * radius_e)
+    # Heading convention is irrelevant as long as it is continuous: use
+    # atan2 over index offsets.
+    heading = np.arctan2(
+        np.broadcast_to(drow, (H, W)), np.broadcast_to(dcol, (H, W))
+    ).ravel()
+    ring = np.floor(dist / cellsize + 0.5).astype(int)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        angle = dz / dist
+
+    visible = np.zeros(H * W, dtype=bool)
+    order = np.lexsort((heading, ring))
+    sorted_rings = ring[order]
+    boundaries = np.searchsorted(
+        sorted_rings, np.arange(sorted_rings[-1] + 2)
+    )
+    env_h = env_a = None
+    for k in range(len(boundaries) - 1):
+        members = order[boundaries[k]: boundaries[k + 1]]
+        if members.size == 0 or (k == 0 and len(boundaries) > 2):
+            continue  # the viewpoint's own ring is never marked
+        if k == 0:
+            return np.ones((H, W), dtype=bool)  # single co-located ring
+        h = heading[members]
+        a = angle[members]
+        if env_h is None:
+            vis = ~np.isnan(a)
+            merged = a
+        else:
+            base = np.interp(h, env_h, env_a, period=2 * np.pi)
+            with np.errstate(invalid="ignore"):
+                vis = a > base
+            vis |= np.isnan(base) & ~np.isnan(a)
+            merged = np.where(vis, a, base)
+        visible[members] = vis
+        env_h, env_a = h, merged
+    return visible.reshape(H, W)
 
 
 def horizon_angles(

@@ -918,11 +918,17 @@ class Raster(Grid):
             )
         return None
 
-    def viewshed(self, origin, correction=False) -> np.ndarray:
+    def viewshed(
+        self, origin, correction=False, method: str = "polar", **kwargs
+    ) -> np.ndarray:
         """Binary viewshed from a world viewpoint (x, y, z).
 
-        Dense polar-resampling algorithm (``ops.terrain.viewshed``) replacing
-        the reference's sequential ring sweep; same visibility semantics.
+        ``method='polar'`` (default) is the dense polar-resampling algorithm
+        (``ops.terrain.viewshed``) — fixed-shape, vectorized, device-
+        friendly; measured >=98% cell agreement with the reference
+        (disagreements sit on grazing visibility boundaries; see
+        tests/test_terrain_parity.py). ``method='rings'`` reproduces the
+        reference's sequential ring sweep exactly (host-only).
         """
         if not all(abs(self.d[0]) == abs(self.d)):
             warnings.warn(
@@ -932,13 +938,18 @@ class Raster(Grid):
         if not self.inbounds_xy(np.atleast_2d(origin[0:2])):
             warnings.warn("Origin not in DEM - may lead to unexpected results")
         rowcol = self.xy_to_rowcol(np.atleast_2d(np.asarray(origin[0:2], dtype=float)))
-        return terrain_ops.viewshed(
+        args = (
             self.array.astype(float),
             (float(rowcol[0, 0]), float(rowcol[0, 1])),
             float(origin[2]),
             float(abs(self.d[0])),
-            correction=self._correction_tuple(correction),
-            xp=np,
+        )
+        if method == "rings":
+            return terrain_ops.viewshed_rings(
+                *args, correction=self._correction_tuple(correction)
+            )
+        return terrain_ops.viewshed(
+            *args, correction=self._correction_tuple(correction), xp=np, **kwargs
         )
 
     def horizon(self, origin, headings=range(360), correction=False) -> List[np.ndarray]:
