@@ -94,10 +94,25 @@ def main() -> None:
         elapsed = min(elapsed, time.perf_counter() - start)
     throughput = N_POINTS * N_STEPS / elapsed
 
-    # Baseline: reference-style per-point CPU loop at the same particle count.
-    baseline = measure_baseline_throughput(
+    # Baseline: reference-style per-point CPU loop at the same particle
+    # count. The PINNED value (benchmarks/pinned_baseline.json, median of 5
+    # on an idle host) keeps vs_baseline comparable across rounds; a fresh
+    # measurement is reported alongside for drift detection.
+    pinned = None
+    pin_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "benchmarks", "pinned_baseline.json",
+    )
+    if os.path.exists(pin_path):
+        with open(pin_path) as fp:
+            pins = json.load(fp)
+        entry = pins.get("by_particles", {}).get(str(N_PARTICLES))
+        if entry and pins.get("image_size") == IMG:
+            pinned = entry["median"]
+    fresh = measure_baseline_throughput(
         n_steps=5, n_particles=N_PARTICLES, image_size=IMG
     )
+    baseline = pinned if pinned is not None else fresh
 
     print(
         json.dumps(
@@ -106,6 +121,8 @@ def main() -> None:
                 "value": round(throughput, 2),
                 "unit": "point-steps/s",
                 "vs_baseline": round(throughput / baseline, 2),
+                "vs_baseline_fresh": round(throughput / fresh, 2),
+                "baseline_pinned": pinned is not None,
             }
         )
     )
