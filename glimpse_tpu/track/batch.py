@@ -451,14 +451,16 @@ def _quantile_interp_matrix(n: int, K: int):
     return S
 
 
-def _device_highpass(t, size, mode: str = "auto"):
+def _device_highpass(t, size, mode: str = "auto", mesh=None):
     """Median high-pass on the device path.
 
     ``mode='pallas'`` uses the fused min/max-network kernel (bit-exact,
     ~10x faster than the sort-based ``jnp.median`` on TPU); ``'xla'`` the
-    portable path. ``'auto'`` picks Pallas on a single TPU chip (odd tap
+    portable path. ``'auto'`` picks Pallas on a TPU backend (odd tap
     counts up to 7x7 only). BatchTracker resolves 'auto' once at
-    construction (Pallas custom calls do not partition over a mesh).
+    construction. Under a device mesh the Pallas call is wrapped in
+    ``shard_map`` over the points axis (custom calls do not partition on
+    their own); on non-TPU backends it runs in the Pallas interpreter.
     """
     kh, kw = size
     pallas_ok = kh % 2 == 1 and kw % 2 == 1 and kh * kw <= 49
@@ -470,11 +472,24 @@ def _device_highpass(t, size, mode: str = "auto"):
     if use_pallas:
         from ..kernels.highpass_pallas import median_highpass
 
-        return median_highpass(t, size=(kh, kw))
+        interpret = jax.default_backend() not in ("tpu", "axon")
+        kernel = functools.partial(
+            median_highpass, size=(kh, kw), interpret=interpret
+        )
+        if mesh is not None:
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec
+
+            spec = PartitionSpec(mesh.axis_names[0])
+            kernel = shard_map(
+                kernel, mesh=mesh, in_specs=spec, out_specs=spec,
+                check_rep=False,
+            )
+        return kernel(t)
     return imageproc.highpass(t, size=size, xp=jnp)
 
 
-def _prepare_search_tiles(tiles, table, highpass_size, mode: str = "auto"):
+def _prepare_search_tiles(tiles, table, highpass_size, mode: str = "auto", mesh=None):
     """Normalize + histogram-match + median-highpass a stack of tiles (N, h, w).
 
     Histogram matching via rank statistics, sort-only (no per-element binary
@@ -504,10 +519,10 @@ def _prepare_search_tiles(tiles, table, highpass_size, mode: str = "auto"):
     )  # (N, n): matched values in sorted order
     _, matched = jax.lax.sort((order, m), dimension=-1, num_keys=1)
     t = matched.reshape(N, h, w)
-    return _device_highpass(t, highpass_size, mode)
+    return _device_highpass(t, highpass_size, mode, mesh=mesh)
 
 
-def _prepare_template_tiles(tiles, highpass_size, n_quantiles: int, mode: str = "auto"):
+def _prepare_template_tiles(tiles, highpass_size, n_quantiles: int, mode: str = "auto", mesh=None):
     """Template pipeline: normalize -> record quantile table -> highpass.
 
     Returns (highpassed tiles, quantile table (N, K)) where table[k] is the
@@ -523,7 +538,7 @@ def _prepare_template_tiles(tiles, highpass_size, n_quantiles: int, mode: str = 
         jnp.floor((jnp.arange(K) + 0.5) * n / K).astype(jnp.int32), 0, n - 1
     )
     table = values[:, idx]
-    hp = _device_highpass(t, highpass_size, mode)
+    hp = _device_highpass(t, highpass_size, mode, mesh=mesh)
     return hp, table
 
 
@@ -538,6 +553,7 @@ def observer_log_likelihoods(
     template_duv,
     weights,
     cfg: BatchConfig,
+    mesh=None,
 ):
     """Per-particle negative log likelihood from one observer's image.
 
@@ -565,7 +581,8 @@ def observer_log_likelihoods(
     else:
         search = _extract_tiles(image, corners, (sh, sw))  # (N, sh, sw)
     search = _prepare_search_tiles(
-        search, template_table, cfg.highpass_size, cfg.highpass_mode
+        search, template_table, cfg.highpass_size, cfg.highpass_mode,
+        mesh=mesh,
     )
     sse = ncc.sse_map_batched(search, templates, xp=jnp)  # (N, oh, ow)
     sse = sse * (1.0 / (th * tw))
@@ -675,11 +692,11 @@ class BatchTracker:
         self.config = config or BatchConfig()
         self.mesh = mesh
         if self.config.highpass_mode == "auto":
-            # Resolve once: Pallas on a single TPU chip; XLA under a mesh
-            # (custom calls do not partition) and on CPU.
+            # Resolve once: Pallas on TPU (shard_map-wrapped under a mesh,
+            # see _device_highpass); the XLA sort-median elsewhere.
             resolved = (
                 "pallas"
-                if mesh is None and jax.default_backend() in ("tpu", "axon")
+                if jax.default_backend() in ("tpu", "axon")
                 else "xla"
             )
             self.config = dataclasses.replace(
@@ -766,7 +783,8 @@ class BatchTracker:
             corners = jnp.stack([corner_row, corner_col], axis=-1)
             tiles = _extract_tiles(images0[o], corners, (th, tw))
             hp, table = _prepare_template_tiles(
-                tiles, cfg.highpass_size, cfg.n_quantiles, cfg.highpass_mode
+                tiles, cfg.highpass_size, cfg.n_quantiles, cfg.highpass_mode,
+                mesh=self.mesh,
             )
             duv = uv - (
                 corners[:, ::-1].astype(cfg.dtype)
@@ -820,6 +838,7 @@ class BatchTracker:
                 state.template_duv[o],
                 state.weights,
                 cfg,
+                mesh=self.mesh,
             )
         # Per-point shift keeps exp() in range regardless of absolute scale.
         ll = ll - jnp.min(ll, axis=-1, keepdims=True)

@@ -55,13 +55,15 @@ def make_motion(points_xy, v_sigma=3.0):
     )
 
 
-def run_tracker(mesh=None, n_points=8, n_frames=6, velocity=(2.0, 1.0)):
+def run_tracker(mesh=None, n_points=8, n_frames=6, velocity=(2.0, 1.0),
+                highpass_mode="auto"):
     cam, frames, _ = make_scene(n_frames=n_frames, velocity=velocity)
     rng = np.random.default_rng(1)
     points_xy = rng.uniform(180, 320, size=(n_points, 2))
     motion = make_motion(points_xy)
     cfg = BatchConfig(
-        n_particles=512, template_size=(15, 15), search_size=(41, 41)
+        n_particles=512, template_size=(15, 15), search_size=(41, 41),
+        highpass_mode=highpass_mode,
     )
     tracker = BatchTracker(
         camera_vectors=cam.to_array()[None],
@@ -100,6 +102,24 @@ def test_batch_tracker_multidevice_matches_single() -> None:
     means_sharded, _, _ = run_tracker(mesh=mesh, n_points=8)
     means_single, _, _ = run_tracker(mesh=None, n_points=8)
     np.testing.assert_allclose(means_sharded, means_single, atol=1e-3)
+
+
+def test_batch_tracker_multidevice_pallas_highpass() -> None:
+    """The fused Pallas high-pass stays active under a mesh via shard_map
+    (interpret mode on CPU) and matches the single-device run."""
+    from glimpse_tpu.parallel import get_mesh
+
+    mesh = get_mesh()
+    means_sharded, _, _ = run_tracker(
+        mesh=mesh, n_points=8, highpass_mode="pallas"
+    )
+    means_single, _, _ = run_tracker(
+        mesh=None, n_points=8, highpass_mode="pallas"
+    )
+    np.testing.assert_allclose(means_sharded, means_single, atol=1e-3)
+    # Pallas and XLA high-pass produce the same filter output.
+    means_xla, _, _ = run_tracker(mesh=None, n_points=8, highpass_mode="xla")
+    np.testing.assert_allclose(means_single, means_xla, atol=1e-3)
 
 
 def test_batch_state_is_checkpointable() -> None:
