@@ -4,7 +4,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from glimpse_tpu.track import batch as B
 from glimpse_tpu.ops import ncc, resampling, sampling as S, projection
 
-N, P, H, W = 1024, 1024, 512, 512
+N = int(os.environ.get("PROF_POINTS", 1024))
+P = int(os.environ.get("PROF_PARTICLES", 1024))
+H = W = int(os.environ.get("PROF_IMGSZ", 512))
 cfg = B.BatchConfig(n_particles=P)
 th, tw = cfg.template_size
 sh, sw = cfg.search_size

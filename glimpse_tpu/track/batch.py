@@ -752,23 +752,27 @@ class BatchTracker:
 
     # -- initialization -- #
 
-    def initialize(self, key, images0, noise=None) -> BatchState:
+    def initialize(
+        self, key, images0, noise=None, camera_vectors=None
+    ) -> BatchState:
         """Initialize particles, weights, and templates from the first frame.
 
         ``images0``: (O, H, W) float image per observer at template time.
         ``noise`` optionally injects the initial standard-normal draws
-        (see :meth:`BatchMotion.initialize`).
+        (see :meth:`BatchMotion.initialize`). ``camera_vectors`` (O, 20)
+        overrides the constructor cameras for the template frame.
         """
         cfg = self.config
         N = self.motion.n_points
         th, tw = cfg.template_size
         key, sub = jax.random.split(key)
+        cams = self.camera_vectors if camera_vectors is None else camera_vectors
         particles = self.motion.initialize(sub, cfg.n_particles, noise=noise)
         weights = jnp.ones((N, cfg.n_particles), dtype=cfg.dtype)
         templates, tables, duvs = [], [], []
         for o in range(self.n_observers):
             uv = projection.project(
-                self.camera_vectors[o],
+                cams[o],
                 jnp.mean(particles[..., 0:3], axis=1),
                 correction=self.corrections[o],
                 xp=jnp,
@@ -807,17 +811,22 @@ class BatchTracker:
     # -- single step -- #
 
     def step(
-        self, state: BatchState, images, dt_units, noise=None
+        self, state: BatchState, images, dt_units, noise=None,
+        camera_vectors=None,
     ) -> Tuple[BatchState, dict]:
         """One PF update: evolve -> weight by all observers -> resample.
 
         ``images``: (O, H, W) frame per observer. ``dt_units``: scalar time
         step in motion time units. ``noise`` optionally injects the random
         draws (see :meth:`BatchMotion.evolve`; plus "resample_u" (N,)) for
-        lockstep validation. Returns (new state, outputs dict).
+        lockstep validation. ``camera_vectors`` (O, 20) overrides the
+        constructor cameras for this frame — per-frame view directions from
+        :class:`~glimpse_tpu.optimize.ObserverCameras` stabilization plug in
+        here. Returns (new state, outputs dict).
         """
         cfg = self.config
         noise = noise or {}
+        cams = self.camera_vectors if camera_vectors is None else camera_vectors
         key = state.key
         key, k_evolve, k_resample = jax.random.split(key, 3)
         # Motion parameters are float32; keep the carried state in cfg.dtype
@@ -829,7 +838,7 @@ class BatchTracker:
         for o in range(self.n_observers):
             ll = ll + observer_log_likelihoods(
                 images[o],
-                self.camera_vectors[o],
+                cams[o],
                 self.corrections[o],
                 self.sigmas[o],
                 particles,
@@ -963,19 +972,37 @@ class BatchTracker:
             lambda s, im, d, sn: jax.lax.scan(body, s, (im, d, sn))
         )(state, images[1:], dts, step_noise)
 
-    def track_stream(self, key, first_frame, frame_iter, dts) -> Tuple[BatchState, list]:
+    def track_stream(
+        self, key, first_frame, frame_iter, dts, camera_vectors_seq=None
+    ) -> Tuple[BatchState, list]:
         """Track a sequence streamed frame by frame from the host.
 
         For sequences too large for device memory: ``frame_iter`` yields
         (O, H, W) arrays; the jitted step runs per frame while the host
         decodes the next one (double buffering via async dispatch).
+        ``camera_vectors_seq`` (T, O, 20) optionally supplies per-frame
+        cameras (index 0 is the template frame) — the stabilized-sequence
+        workflow.
         """
         step = jax.jit(self.step)
-        state = self.initialize(key, jnp.asarray(first_frame, self.config.dtype))
+        cams0 = None
+        if camera_vectors_seq is not None:
+            camera_vectors_seq = jnp.asarray(camera_vectors_seq, jnp.float32)
+            cams0 = camera_vectors_seq[0]
+        state = self.initialize(
+            key, jnp.asarray(first_frame, self.config.dtype),
+            camera_vectors=cams0,
+        )
         outputs = []
-        for frame, dt in zip(frame_iter, dts):
+        for t, (frame, dt) in enumerate(zip(frame_iter, dts), start=1):
             frame = jnp.asarray(frame, self.config.dtype)
-            state, out = step(state, frame, jnp.asarray(dt, self.config.dtype))
+            cams_t = (
+                None if camera_vectors_seq is None else camera_vectors_seq[t]
+            )
+            state, out = step(
+                state, frame, jnp.asarray(dt, self.config.dtype),
+                camera_vectors=cams_t,
+            )
             outputs.append(out)
         return state, outputs
 

@@ -684,3 +684,27 @@ def test_batch_config_rejects_even_pallas_highpass() -> None:
         BatchConfig(highpass_mode="pallas", highpass_size=(4, 4))
     with _pytest.raises(ValueError, match="at most 49"):
         BatchConfig(highpass_mode="pallas", highpass_size=(9, 9))
+
+
+def test_per_frame_camera_vectors_match_constant() -> None:
+    """track_stream with a constant per-frame camera sequence reproduces the
+    constant-camera run; per-frame viewdirs are the stabilization hook."""
+    cam, frames, _ = make_scene(n_frames=5)
+    rng = np.random.default_rng(1)
+    points_xy = rng.uniform(180, 320, size=(4, 2))
+    cfg = BatchConfig(n_particles=128, template_size=(11, 11), search_size=(25, 25))
+
+    def run(camseq):
+        tracker = BatchTracker(
+            camera_vectors=cam.to_array()[None], corrections=[None],
+            sigmas=[0.15], motion=make_motion(points_xy), config=cfg,
+        )
+        _, outputs = tracker.track_stream(
+            jax.random.PRNGKey(0), frames[0][None],
+            (f[None] for f in frames[1:]), np.ones(len(frames) - 1),
+            camera_vectors_seq=camseq,
+        )
+        return np.asarray(outputs[-1]["mean"])
+
+    constant = np.tile(cam.to_array()[None, None], (len(frames), 1, 1))
+    np.testing.assert_allclose(run(constant), run(None), atol=1e-5)
