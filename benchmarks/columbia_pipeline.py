@@ -1,0 +1,264 @@
+"""BASELINE ladder config (5), fully integrated: SIFT stabilization -> PF.
+
+The end-to-end Columbia-Glacier workflow in one run, matching the reference
+pipeline (optimize.py:2024-2083 feeding track/tracker.py:225):
+
+1. Synthesize a 1,000+ frame sequence from a camera that WOBBLES: each
+   frame's true view direction is the nominal direction plus a random
+   jitter. The scene is a static terrain plane with a translating "glacier"
+   band (the texture the tracked points ride on).
+2. Stabilize: SIFT keypoints on the static terrain (glacier band masked
+   out, as in real campaigns), time-windowed FLANN matching
+   (KeypointMatcher), and ObserverCameras.fit to recover every frame's
+   view direction.
+3. Track 10,240 points x 512 particles through all frames with the batched
+   device tracker, streamed frame-by-frame — once with the (wrong) nominal
+   camera and once with the recovered per-frame cameras.
+
+Prints one JSON line with stabilization quality (max viewdir error),
+tracking throughput, and px-RMSE with and without stabilization.
+
+Run: python benchmarks/columbia_pipeline.py     (real TPU; CPU for SIFT)
+Env: PIPELINE_POINTS (10240), PIPELINE_PARTICLES (512),
+     PIPELINE_FRAMES (1000), PIPELINE_PLATFORM (default: leave TPU).
+"""
+import datetime
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+IMG = 512
+VEL = (0.06, 0.04)  # glacier velocity, world units / frame
+BAND = (180.0, 360.0)  # glacier band in world y
+JITTER_DEG = (0.1, 0.1, 0.03)  # per-frame viewdir wobble (yaw, pitch, roll)
+# Oblique view (the actual time-lapse geometry): camera south of and above
+# the scene, pitched down. A nadir view would gimbal-lock yaw against roll.
+CAM_XYZ = (IMG / 2, -200.0, 400.0)
+CAM_VIEWDIR = (0.0, -35.0, 0.0)
+
+
+def nominal_camera():
+    from glimpse_tpu import Camera
+
+    return Camera(imgsz=IMG, f=IMG, xyz=CAM_XYZ, viewdir=CAM_VIEWDIR)
+
+
+class SceneRenderer:
+    """Static terrain + translating glacier band, seen by a wobbling camera."""
+
+    def __init__(self, seed: int = 0):
+        import scipy.ndimage
+
+        rng = np.random.default_rng(seed)
+        pad = 128
+        shape = (IMG + 2 * pad, IMG + 2 * pad)
+        self.pad = pad
+        self.terrain = (
+            scipy.ndimage.gaussian_filter(rng.normal(size=shape), 1.2) * 55 + 128
+        ).astype(np.float32)
+        self.glacier = (
+            scipy.ndimage.gaussian_filter(rng.normal(size=shape), 0.8) * 55 + 128
+        ).astype(np.float32)
+        cam = nominal_camera()
+        self.cam_xyz = np.asarray(cam.xyz, float)
+        self.base_vector = cam.to_array()
+        u, v = np.meshgrid(
+            np.arange(IMG) + 0.5, np.arange(IMG) + 0.5
+        )
+        self.uv = np.column_stack([u.ravel(), v.ravel()])
+
+    def camera_vector(self, viewdir) -> np.ndarray:
+        vec = self.base_vector.copy()
+        vec[3:6] = viewdir
+        return vec
+
+    def _sample(self, canvas, wx, wy):
+        import scipy.ndimage
+
+        return scipy.ndimage.map_coordinates(
+            canvas, [wy + self.pad, wx + self.pad], order=1, mode="nearest"
+        )
+
+    def render(self, i: int, viewdir) -> np.ndarray:
+        """Frame i through a camera at the given view direction."""
+        from glimpse_tpu.ops import projection as proj
+
+        rays = proj.unproject(
+            self.camera_vector(viewdir), self.uv, directions=True, xp=np
+        )
+        down = rays[:, 2] < -1e-6
+        t = np.where(down, -self.cam_xyz[2] / np.where(down, rays[:, 2], -1.0), 1e6)
+        wx = np.clip(self.cam_xyz[0] + t * rays[:, 0], -self.pad, IMG + self.pad)
+        wy = np.clip(self.cam_xyz[1] + t * rays[:, 1], -self.pad, IMG + self.pad)
+        terrain = self._sample(self.terrain, wx, wy)
+        glacier = self._sample(self.glacier, wx - VEL[0] * i, wy - VEL[1] * i)
+        in_band = (wy >= BAND[0]) & (wy <= BAND[1])
+        return np.where(in_band, glacier, terrain).reshape(IMG, IMG)
+
+    def terrain_mask(self) -> np.ndarray:
+        """SIFT mask: nonzero on static terrain, zero on the glacier band.
+
+        Built by intersecting the NOMINAL camera's pixel rays with the
+        plane; eroded so small view-direction jitter cannot leak glacier
+        pixels into the keypoint set."""
+        import scipy.ndimage
+
+        from glimpse_tpu.ops import projection as proj
+
+        rays = proj.unproject(self.base_vector, self.uv, directions=True, xp=np)
+        down = rays[:, 2] < -1e-6
+        t = np.where(down, -self.cam_xyz[2] / np.where(down, rays[:, 2], -1.0), 1e6)
+        wy = self.cam_xyz[1] + t * rays[:, 1]
+        in_band = (wy >= BAND[0] - 10) & (wy <= BAND[1] + 10)
+        mask = (~in_band).reshape(IMG, IMG)
+        mask = scipy.ndimage.binary_erosion(mask, iterations=6)
+        return (mask * 255).astype(np.uint8)
+
+
+def stabilize(renderer, true_viewdirs, workdir: str):
+    """Render JPEGs, run SIFT + matching + ObserverCameras; return viewdirs."""
+    import PIL.Image
+
+    from glimpse_tpu import Image, optimize
+
+    t0 = datetime.datetime(2020, 1, 1)
+    hour = datetime.timedelta(hours=1)
+    images = []
+    for i, viewdir in enumerate(true_viewdirs):
+        frame = np.clip(renderer.render(i, viewdir), 0, 255).astype(np.uint8)
+        path = os.path.join(workdir, f"frame_{i:04d}.jpg")
+        PIL.Image.fromarray(frame).save(path, quality=95)
+        img = Image(
+            path,
+            cam={"imgsz": IMG, "f": IMG, "xyz": tuple(renderer.cam_xyz),
+                 "viewdir": CAM_VIEWDIR},
+            datetime=t0 + i * hour,
+        )
+        images.append(img)
+
+    class _Seq:
+        def __init__(self, images):
+            self.images = images
+
+    model = optimize.ObserverCameras(_Seq(images), anchors=[0])
+    mask = renderer.terrain_mask()
+    model.build_keypoints(
+        masks=[mask] * len(images), contrastThreshold=0.02, clear_images=True
+    )
+    model.build_matches(seq=(1, 8, 64), max_ratio=0.75, max_distance=20.0)
+    n_pairs = int(sum(m.size for m in model.matches.data))
+    result = model.fit()
+    return result.x.reshape(-1, 3), n_pairs
+
+
+def main() -> None:
+    if os.environ.get("PIPELINE_PLATFORM"):
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["PIPELINE_PLATFORM"])
+    import jax
+    import jax.numpy as jnp
+
+    from glimpse_tpu.track.batch import (
+        BatchConfig, BatchMotion, BatchTracker, DeviceRaster,
+    )
+
+    N = int(os.environ.get("PIPELINE_POINTS", 10240))
+    P = int(os.environ.get("PIPELINE_PARTICLES", 512))
+    T = int(os.environ.get("PIPELINE_FRAMES", 1000))
+
+    rng = np.random.default_rng(42)
+    true_viewdirs = np.tile(np.asarray(CAM_VIEWDIR), (T, 1))
+    true_viewdirs[1:] += rng.normal(0, JITTER_DEG, size=(T - 1, 3))
+
+    renderer = SceneRenderer(seed=0)
+
+    # ---- Stage 1+2: render + stabilize (host, SIFT) ----
+    t_stab = time.perf_counter()
+    workdir = tempfile.mkdtemp(prefix="columbia_pipeline_")
+    recovered, n_pairs = stabilize(renderer, true_viewdirs, workdir)
+    stab_seconds = time.perf_counter() - t_stab
+    # Rotation-angle error is the parameterization-independent metric.
+    from glimpse_tpu.ops import projection as proj
+
+    R_true = proj.rotation_matrix(true_viewdirs, xp=np)
+    R_rec = proj.rotation_matrix(np.asarray(recovered), xp=np)
+    rel = np.einsum("nij,nkj->nik", R_rec, R_true)  # R_rec @ R_true^T
+    traces = np.trace(rel, axis1=-2, axis2=-1)
+    rot_err_deg = np.degrees(np.arccos(np.clip((traces - 1) / 2, -1, 1)))
+    # ---- Stage 3: batched tracking, streamed ----
+    margin = 80
+    starts = np.column_stack([
+        rng.uniform(margin, IMG - margin - VEL[0] * T, N),
+        rng.uniform(BAND[0] + 20, BAND[1] - 20 - VEL[1] * T, N),
+    ])
+    motion = BatchMotion(
+        kind="cartesian",
+        xy=jnp.asarray(starts, jnp.float32),
+        xy_sigma=jnp.full((N, 2), 1.0, jnp.float32),
+        v_mean=jnp.zeros((N, 3), jnp.float32),
+        v_sigma=jnp.full((N, 3), 0.5, jnp.float32).at[:, 2].set(0.0),
+        a_mean=jnp.zeros((N, 3), jnp.float32),
+        a_sigma=jnp.full((N, 3), 0.05, jnp.float32).at[:, 2].set(0.0),
+        slope_sigma=jnp.zeros((N,), jnp.float32),
+        dem=DeviceRaster.constant(0.0),
+        dem_sigma=DeviceRaster.constant(0.0),
+        use_dem_sigma=False,
+    )
+    cfg = BatchConfig(n_particles=P, template_size=(15, 15), search_size=(31, 31))
+    tracker = BatchTracker(
+        camera_vectors=renderer.base_vector[None], corrections=[None],
+        sigmas=[0.3], motion=motion, config=cfg,
+    )
+
+    def run(camera_seq):
+        start = time.perf_counter()
+        _, outputs = tracker.track_stream(
+            jax.random.PRNGKey(0),
+            renderer.render(0, true_viewdirs[0])[None],
+            (renderer.render(i, true_viewdirs[i])[None] for i in range(1, T)),
+            np.ones(T - 1, np.float32),
+            camera_vectors_seq=camera_seq,
+        )
+        final = np.asarray(outputs[-1]["mean"])
+        return final, time.perf_counter() - start
+
+    truth = starts + np.asarray(VEL) * (T - 1)
+
+    def rmse(final):
+        return float(
+            np.sqrt(np.mean(np.sum((final[:, 0:2] - truth) ** 2, axis=-1)))
+        )
+
+    recovered_seq = np.stack(
+        [renderer.camera_vector(v) for v in recovered]
+    )[:, None]
+    final_stab, secs_stab = run(recovered_seq)
+    final_raw, secs_raw = run(None)
+
+    print(
+        json.dumps(
+            {
+                "config": f"{N} points x {P} particles x {T} frames "
+                          "(SIFT stabilization + streamed batched PF)",
+                "stabilization_pairs": n_pairs,
+                "stabilization_seconds": round(stab_seconds, 1),
+                "rotation_max_err_deg": round(float(rot_err_deg.max()), 4),
+                "rotation_mean_err_deg": round(float(rot_err_deg.mean()), 4),
+                "rmse_unstabilized_px": round(rmse(final_raw), 3),
+                "rmse_stabilized_px": round(rmse(final_stab), 3),
+                "track_wall_s": round(secs_stab, 1),
+                "point_steps_per_s": round(N * (T - 1) / secs_stab, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
