@@ -1,2 +1,2 @@
 """Pallas TPU kernels for the hot ops."""
-from . import highpass_pallas, ncc_pallas  # noqa: F401
+from . import highpass_pallas  # noqa: F401
