@@ -876,15 +876,21 @@ class BatchTracker:
             )
             degraded = ess < cfg.resample_threshold * P
             idx = jnp.where(degraded[:, None], idx, jnp.arange(P)[None, :])
-        # One fused (N, P, 7) row gather replicates particles + weights
-        # together: ~2x faster on TPU than two separate take_along_axis.
-        pw = jnp.concatenate([particles, weights[..., None]], axis=-1)
-        pw = jnp.take_along_axis(pw, idx[..., None], axis=1)
-        particles, weights = pw[..., :6], pw[..., 6]
-        if cfg.resample_threshold is not None:
+            # SIR bookkeeping: carry weights through the gather; resampled
+            # points reset to uniform.
+            pw = jnp.concatenate([particles, weights[..., None]], axis=-1)
+            pw = jnp.take_along_axis(pw, idx[..., None], axis=1)
+            particles, weights = pw[..., :6], pw[..., 6]
             weights = jnp.where(
                 degraded[:, None], jnp.ones_like(weights), weights
             )
+        else:
+            # One fused (N, P, 7) row gather replicates particles + weights
+            # together (reference parity: the gathered likelihood weights
+            # center the next step's search box, tracker.py:151-223).
+            pw = jnp.concatenate([particles, weights[..., None]], axis=-1)
+            pw = jnp.take_along_axis(pw, idx[..., None], axis=1)
+            particles, weights = pw[..., :6], pw[..., 6]
         new_state = BatchState(
             particles=particles,
             weights=weights,
