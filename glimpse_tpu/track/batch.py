@@ -322,6 +322,12 @@ class BatchConfig:
     # kernel on a single TPU chip and to the XLA sort-median under a device
     # mesh (Pallas custom calls do not partition) or on CPU.
     highpass_mode: str = "auto"  # 'auto' | 'xla' | 'pallas'
+    # Resample implementation: 'pallas' fuses systematic searchsorted +
+    # particle gather in one VMEM sweep (kernels/resample_pallas.py; the
+    # XLA take_along_axis gather alone costs ~80% of the step at production
+    # shapes). 'auto' resolves to Pallas on TPU when resample_method is
+    # 'systematic', else to the XLA merge-rank + gather path.
+    resample_mode: str = "auto"  # 'auto' | 'xla' | 'pallas'
     # Whether step outputs include full 6x6 weighted covariances.
     return_covariances: bool = False
     # Effective-sample-size-triggered resampling: None resamples every step
@@ -361,6 +367,16 @@ class BatchConfig:
                 f"highpass_mode must be 'auto', 'xla', or 'pallas',"
                 f" got {self.highpass_mode!r}"
             )
+        if self.resample_mode not in ("auto", "xla", "pallas"):
+            raise ValueError(
+                f"resample_mode must be 'auto', 'xla', or 'pallas',"
+                f" got {self.resample_mode!r}"
+            )
+        if self.resample_mode == "pallas" and self.resample_method != "systematic":
+            raise ValueError(
+                "resample_mode='pallas' supports only"
+                " resample_method='systematic'"
+            )
         if self.highpass_mode == "pallas":
             kh, kw = self.highpass_size
             if kh % 2 == 0 or kw % 2 == 0 or kh * kw > 49:
@@ -395,6 +411,54 @@ class BatchState:
 
 
 # ---- Observation kernel ---- #
+
+
+def _gather_rows(particles, weights, idx):
+    """Replicate resampled particle rows (+ carried weights) by index.
+
+    One fused (N, P, 7) row gather replicates particles + weights
+    together: ~2x faster than two separate ``take_along_axis`` on TPU.
+    Still the slow path there (~2 GB/s gather engine) — the systematic
+    default uses :func:`_fused_resample` instead.
+    """
+    pw = jnp.concatenate([particles, weights[..., None]], axis=-1)
+    pw = jnp.take_along_axis(pw, idx[..., None], axis=1)
+    return pw[..., :6], pw[..., 6]
+
+
+def _fused_resample(particles, weights, u, mesh=None):
+    """Systematic resample via the fused Pallas kernel (no gather engine).
+
+    ``u``: (N, 1) comb offsets. Returns (particles, weights) resampled —
+    exact row copies, searchsorted-left tie semantics. Under a device mesh
+    the kernel is shard_map-wrapped over the points axis (Pallas custom
+    calls do not partition on their own); on non-TPU backends it runs in
+    the Pallas interpreter.
+    """
+    from ..kernels.resample_pallas import systematic_resample_gather
+
+    P = weights.shape[-1]
+    # The threshold table must hold exact particle counts: bfloat16 state
+    # would quantize P * cum to ~8 bits, so build it in float32 always.
+    wn = weights.astype(jnp.float32)
+    wn = wn / jnp.sum(wn, axis=-1, keepdims=True)
+    t = P * jnp.cumsum(wn, axis=-1) - u.astype(jnp.float32)
+    cols = [particles[..., k] for k in range(6)] + [weights]
+    interpret = jax.default_backend() not in ("tpu", "axon")
+    kernel = functools.partial(
+        systematic_resample_gather, interpret=interpret
+    )
+    if mesh is not None:
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec
+
+        spec = PartitionSpec(mesh.axis_names[0])
+        kernel = shard_map(
+            kernel, mesh=mesh, in_specs=(spec, [spec] * 7),
+            out_specs=[spec] * 7, check_rep=False,
+        )
+    out = kernel(t, cols)
+    return jnp.stack(out[:6], axis=-1), out[6]
 
 
 def _extract_tiles(image, corners, size: Tuple[int, int]):
@@ -702,6 +766,21 @@ class BatchTracker:
             self.config = dataclasses.replace(
                 self.config, highpass_mode=resolved
             )
+        if self.config.resample_mode == "auto":
+            # Fused Pallas resample on TPU for the systematic default
+            # (shard_map-wrapped under a mesh); merge-rank + gather
+            # elsewhere and for the other resamplers.
+            resolved = (
+                "pallas"
+                if (
+                    jax.default_backend() in ("tpu", "axon")
+                    and self.config.resample_method == "systematic"
+                )
+                else "xla"
+            )
+            self.config = dataclasses.replace(
+                self.config, resample_mode=resolved
+            )
         self.n_observers = self.camera_vectors.shape[0]
 
     @classmethod
@@ -865,32 +944,43 @@ class BatchTracker:
         mean, sigma = particle_moments(particles, weights)
         if cfg.return_covariances:
             covariance = particle_covariances(particles, weights)
-        idx = resampling.resample_jax(
-            k_resample, weights, cfg.resample_method,
-            u=noise.get("resample_u", None),
-        )
+        if cfg.resample_mode == "pallas":
+            # Fused systematic searchsorted + gather in one Pallas sweep
+            # (the XLA gather engine alone costs ~80% of the step).
+            u = noise.get("resample_u", None)
+            if u is None:
+                u = jax.random.uniform(
+                    k_resample, weights.shape[:-1] + (1,)
+                )
+            else:
+                u = jnp.reshape(u, weights.shape[:-1] + (1,))
+            new_p, new_w = _fused_resample(
+                particles, weights, u, mesh=self.mesh
+            )
+        else:
+            idx = resampling.resample_jax(
+                k_resample, weights, cfg.resample_method,
+                u=noise.get("resample_u", None),
+            )
+            # One fused (N, P, 7) row replication of particles + weights
+            # together (reference parity: the gathered likelihood weights
+            # center the next step's search box, tracker.py:151-223).
+            new_p, new_w = _gather_rows(particles, weights, idx)
         if cfg.resample_threshold is not None:
-            # Resample only points whose effective sample size has degraded.
+            # Resample only points whose effective sample size has
+            # degraded; SIR bookkeeping resets their weights to uniform.
             ess = jnp.sum(weights, axis=-1) ** 2 / jnp.sum(
                 weights * weights, axis=-1
             )
             degraded = ess < cfg.resample_threshold * P
-            idx = jnp.where(degraded[:, None], idx, jnp.arange(P)[None, :])
-            # SIR bookkeeping: carry weights through the gather; resampled
-            # points reset to uniform.
-            pw = jnp.concatenate([particles, weights[..., None]], axis=-1)
-            pw = jnp.take_along_axis(pw, idx[..., None], axis=1)
-            particles, weights = pw[..., :6], pw[..., 6]
+            particles = jnp.where(
+                degraded[:, None, None], new_p, particles
+            )
             weights = jnp.where(
                 degraded[:, None], jnp.ones_like(weights), weights
             )
         else:
-            # One fused (N, P, 7) row gather replicates particles + weights
-            # together (reference parity: the gathered likelihood weights
-            # center the next step's search box, tracker.py:151-223).
-            pw = jnp.concatenate([particles, weights[..., None]], axis=-1)
-            pw = jnp.take_along_axis(pw, idx[..., None], axis=1)
-            particles, weights = pw[..., :6], pw[..., 6]
+            particles, weights = new_p, new_w
         new_state = BatchState(
             particles=particles,
             weights=weights,

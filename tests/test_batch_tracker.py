@@ -56,14 +56,14 @@ def make_motion(points_xy, v_sigma=3.0):
 
 
 def run_tracker(mesh=None, n_points=8, n_frames=6, velocity=(2.0, 1.0),
-                highpass_mode="auto"):
+                highpass_mode="auto", resample_mode="auto"):
     cam, frames, _ = make_scene(n_frames=n_frames, velocity=velocity)
     rng = np.random.default_rng(1)
     points_xy = rng.uniform(180, 320, size=(n_points, 2))
     motion = make_motion(points_xy)
     cfg = BatchConfig(
         n_particles=512, template_size=(15, 15), search_size=(41, 41),
-        highpass_mode=highpass_mode,
+        highpass_mode=highpass_mode, resample_mode=resample_mode,
     )
     tracker = BatchTracker(
         camera_vectors=cam.to_array()[None],
@@ -120,6 +120,59 @@ def test_batch_tracker_multidevice_pallas_highpass() -> None:
     # Pallas and XLA high-pass produce the same filter output.
     means_xla, _, _ = run_tracker(mesh=None, n_points=8, highpass_mode="xla")
     np.testing.assert_allclose(means_single, means_xla, atol=1e-3)
+
+
+def test_batch_tracker_pallas_resample_matches_xla() -> None:
+    """The fused Pallas resample (searchsorted + gather in one VMEM sweep)
+    tracks identically to the XLA merge-rank + take_along_axis path,
+    single-device and under a mesh via shard_map (interpret mode on CPU).
+
+    The two paths compare the comb against the cumulative weights with
+    different (mathematically equivalent) float roundings, so indices can
+    flip by one on near-ties; the trajectory tolerance absorbs that.
+    """
+    from glimpse_tpu.parallel import get_mesh
+
+    means_pallas, _, _ = run_tracker(
+        mesh=None, n_points=8, resample_mode="pallas"
+    )
+    means_xla, _, _ = run_tracker(mesh=None, n_points=8, resample_mode="xla")
+    np.testing.assert_allclose(means_pallas, means_xla, atol=1e-2)
+    mesh = get_mesh()
+    means_sharded, _, _ = run_tracker(
+        mesh=mesh, n_points=8, resample_mode="pallas"
+    )
+    np.testing.assert_allclose(means_sharded, means_pallas, atol=1e-3)
+
+
+def test_fused_resample_kernel_exact() -> None:
+    """Kernel output == take_along_axis with the kernel's own indices
+    (bit-exact row copies, searchsorted-left tie semantics)."""
+    from glimpse_tpu.kernels.resample_pallas import (
+        systematic_resample_gather,
+    )
+
+    rng = np.random.default_rng(3)
+    N, P, K = 6, 500, 7
+    w = rng.random((N, P)).astype(np.float32) ** 3 + 1e-5
+    u = rng.random((N, 1)).astype(np.float32)
+    cum = np.cumsum(w / w.sum(-1, keepdims=True), -1)
+    t = jnp.asarray((P * cum - u).astype(np.float32))
+    cols = [
+        jnp.asarray(rng.normal(size=(N, P)).astype(np.float32))
+        for _ in range(K)
+    ]
+    out = systematic_resample_gather(t, cols, interpret=True)
+    tn = np.asarray(t)
+    idx = np.stack(
+        [
+            np.clip(np.searchsorted(tn[n], np.arange(P), side="left"), 0, P - 1)
+            for n in range(N)
+        ]
+    )
+    for k in range(K):
+        want = np.take_along_axis(np.asarray(cols[k]), idx, 1)
+        assert (np.asarray(out[k]) == want).all()
 
 
 def test_batch_state_is_checkpointable() -> None:
