@@ -52,11 +52,10 @@ def stages(upto):
         if upto == 6: return sampled.sum()
         ll = sampled - jnp.min(sampled, -1, keepdims=True)
         w = jnp.exp(-ll) + 1e-30
-        idx = resampling.resample_jax(key, w, cfg.resample_method)
-        pw = jnp.concatenate([particles, w[..., None]], -1)
-        pw = jnp.take_along_axis(pw, idx[..., None], 1)
-        wn = pw[...,6] / jnp.sum(pw[...,6], -1, keepdims=True)
-        m = jnp.sum(pw[...,:6] * wn[..., None], 1)
+        u = jax.random.uniform(key, (N, 1))
+        p2, w2 = B._fused_resample(particles, w, u)
+        wn = w2 / jnp.sum(w2, -1, keepdims=True)
+        m = jnp.sum(p2 * wn[..., None], 1)
         return m.sum()
     return fn
 

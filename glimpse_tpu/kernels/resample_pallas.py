@@ -55,7 +55,9 @@ _C = 128  # output-chunk height (P is padded to a multiple of this)
 
 def _kernel(P: int, P_real: int, W: int, K: int, t_ref, *refs):
     col_refs = refs[:K]
-    out_refs = refs[K:]
+    out_refs = refs[K : K + K]
+    s_scr, e_scr = refs[K + K], refs[K + K + 1]
+    nch = P // _C
     iota_w = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
     steps_per_block = _G_OUT // _G_IN
     j = pl.program_id(0) % steps_per_block
@@ -66,29 +68,41 @@ def _kernel(P: int, P_real: int, W: int, K: int, t_ref, *refs):
         for k in range(K):
             out_refs[k][...] = jnp.zeros_like(out_refs[k])
 
-    out_lanes = jax.lax.broadcasted_iota(jnp.int32, (1, _G_OUT), 1)
+    # Batched coarse brackets: for every (g, chunk) pair, count the source
+    # rows below the chunk's first/last integer thresholds — one fused
+    # compare-reduce per point instead of 2*nch scalar reductions (the
+    # per-chunk scalar sections, not the vector sweeps, dominate kernel
+    # time; measured 170 -> 123 ms at 10,240 x 2,048).
+    thr = _C * jax.lax.broadcasted_iota(jnp.int32, (nch, 1), 0)
     for g in range(_G_IN):
-        trow = t_ref[g : g + 1, :]  # (1, P)
+        trow = t_ref[g : g + 1, :]
+        thr_f = thr.astype(trow.dtype)
+        s_scr[g * nch : (g + 1) * nch, 0:1] = jnp.sum(
+            (trow < thr_f).astype(jnp.int32), axis=1, keepdims=True
+        )
+        e_scr[g * nch : (g + 1) * nch, 0:1] = jnp.sum(
+            (trow < thr_f + (_C - 1)).astype(jnp.int32),
+            axis=1,
+            keepdims=True,
+        )
+
+    out_lanes = jax.lax.broadcasted_iota(jnp.int32, (1, _G_OUT), 1)
+    last_blk = (P - W) // 128
+    wblk = W // 128
+    for g in range(_G_IN):
         lane_hot = (out_lanes == lane0 + g).astype(col_refs[0].dtype)
-        for c0 in range(0, P, _C):
+        for ci, c0 in enumerate(range(0, P, _C)):
             jg = c0 + jax.lax.broadcasted_iota(jnp.int32, (_C, 1), 0)
-            # Coarse scalar brackets: counts below the chunk's first and
-            # last integer thresholds. Source rows < s are below every
-            # threshold; rows >= e below none.
-            s = jnp.sum((trow < c0).astype(jnp.int32))
-            e = jnp.sum((trow < c0 + _C - 1).astype(jnp.int32))
+            s = s_scr[g * nch + ci, 0]
+            e = e_scr[g * nch + ci, 0]
             # Lane-aligned window base (Mosaic: dynamic lane starts must
             # be provable multiples of 128), in 128-block units.
             b0_blk = s // 128
             b0 = b0_blk * 128
-            last_blk = (P - W) // 128
-            wblk = W // 128
-            n_rounds = (e - b0) // W + 1
-            jg_f = jg.astype(trow.dtype)
+            jg_f = jg.astype(jnp.float32)
 
-            def count_body(r, cnt):
-                sr_blk = jnp.minimum(b0_blk + r * wblk, last_blk)
-                sr = sr_blk * 128
+            def count_round(r, cnt):
+                sr = jnp.minimum(b0_blk + r * wblk, last_blk) * 128
                 win = t_ref[g : g + 1, pl.ds(sr, W)]  # (1, W)
                 gidx = sr + iota_w
                 # Rows < s are already in the coarse count (the aligned
@@ -101,14 +115,25 @@ def _kernel(P: int, P_real: int, W: int, K: int, t_ref, *refs):
                     hit.astype(jnp.int32), axis=1, keepdims=True
                 )
 
+            # Round 0 unrolled; the rare wide-span chunk (> W source rows)
+            # finishes in a dynamic loop. Spans are ~_C for near-uniform
+            # weights and ~0 for degenerate ones, so the static round
+            # almost always suffices and the while-loop overhead is paid
+            # only when needed.
+            n_rounds = (e - b0) // W + 1
             cnt = jnp.full((_C, 1), 1, jnp.int32) * s
-            cnt = jax.lax.fori_loop(0, n_rounds, count_body, cnt)
+            cnt = count_round(0, cnt)
+            cnt = jax.lax.cond(
+                n_rounds > 1,
+                lambda c: jax.lax.fori_loop(1, n_rounds, count_round, c),
+                lambda c: c,
+                cnt,
+            )
             cnt = jnp.minimum(cnt, P_real - 1)  # resampler clip semantics
             rel = cnt - b0  # (_C, 1), in [0, e - b0]
 
-            def select_body(r, accs):
-                sr_blk = jnp.minimum(b0_blk + r * wblk, last_blk)
-                sr = sr_blk * 128
+            def select_round(r, accs):
+                sr = jnp.minimum(b0_blk + r * wblk, last_blk) * 128
                 rw = cnt - sr
                 in_round = (rel >= r * W) & (rel < (r + 1) * W)
                 hit = (rw == iota_w) & in_round  # (_C, W): <=1 hot per row
@@ -124,7 +149,13 @@ def _kernel(P: int, P_real: int, W: int, K: int, t_ref, *refs):
             accs = tuple(
                 jnp.zeros((_C, 1), col_refs[k].dtype) for k in range(K)
             )
-            accs = jax.lax.fori_loop(0, n_rounds, select_body, accs)
+            accs = select_round(0, accs)
+            accs = jax.lax.cond(
+                n_rounds > 1,
+                lambda a: jax.lax.fori_loop(1, n_rounds, select_round, a),
+                lambda a: a,
+                accs,
+            )
             # Dynamic-lane stores don't lower; place the column through a
             # one-hot lane mask instead (the block was zero-initialized).
             for k in range(K):
@@ -178,6 +209,9 @@ def systematic_resample_gather(
         out_shape=[
             jax.ShapeDtypeStruct((Pp, Np), c.dtype) for c in cols
         ],
+        scratch_shapes=[
+            pltpu.VMEM((_G_IN * (Pp // _C), 1), jnp.int32)
+        ] * 2,
         # K double-buffered (Pp, 128) output blocks overflow the default
         # 16 MB scoped-VMEM budget at production P; v5e has 128 MB VMEM.
         compiler_params=pltpu.CompilerParams(

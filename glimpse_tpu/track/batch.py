@@ -336,8 +336,9 @@ class BatchConfig:
     # SIR weight accumulation, resampling a point only when its ESS drops
     # below ``resample_threshold * n_particles`` — less resampling noise.
     resample_threshold: Any = None
-    # Keep float32: bfloat16 runs but measured ~7x worse trajectory accuracy
-    # with no speed gain (the step is sort/gather-bound, not matmul-bound).
+    # Keep float32: bfloat16 runs but measured ~7x worse trajectory
+    # accuracy with no meaningful speed gain (the step is dominated by the
+    # resample sweep, histogram sorts, and elementwise work, not matmuls).
     dtype: Any = jnp.float32 if jnp is not None else None
 
     def __post_init__(self) -> None:
