@@ -86,6 +86,17 @@ def main() -> None:
         motion=motion, config=cfg,
     )
 
+    # Warm-up: compile initialize + step on a throwaway 2-frame stream
+    # (remote-AOT compile times through the tunnel vary 10-30x run to run;
+    # keep them out of the timed region).
+    t0 = time.perf_counter()
+    _, warm = tracker.track_stream(
+        jax.random.PRNGKey(1), frame(0), iter([frame(1)]),
+        np.ones(1, np.float32),
+    )
+    np.asarray(warm[-1]["mean"][0, 0])
+    compile_s = time.perf_counter() - t0
+
     start = time.perf_counter()
     state, outputs = tracker.track_stream(
         jax.random.PRNGKey(0),
@@ -106,6 +117,7 @@ def main() -> None:
             {
                 "config": f"{N} points x {P} particles x {T} frames (streamed)",
                 "wall_s": round(elapsed, 1),
+                "compile_s": round(compile_s, 1),
                 "point_steps_per_s": round(N * (T - 1) / elapsed, 1),
                 "rmse_vs_truth_px": round(rmse, 3),
             }

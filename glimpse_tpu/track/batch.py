@@ -1086,7 +1086,9 @@ class BatchTracker:
         if camera_vectors_seq is not None:
             camera_vectors_seq = jnp.asarray(camera_vectors_seq, jnp.float32)
             cams0 = camera_vectors_seq[0]
-        state = self.initialize(
+        # Jitted initialization: run eagerly, every op compiles as its own
+        # tiny executable (minutes through a remote-compile backend).
+        state = jax.jit(self.initialize)(
             key, jnp.asarray(first_frame, self.config.dtype),
             camera_vectors=cams0,
         )
