@@ -1126,11 +1126,20 @@ class ObserverCameras:
 
         def unit_rays(viewdirs, xys, idx):
             R = proj.rotation_matrix(viewdirs, xp=jnp)  # (n_imgs, 3, 3)
-            Ri = R[idx]  # (M, 3, 3)
-            ones = jnp.ones(xys.shape[:-1] + (1,), dtype=xys.dtype)
-            xyw = jnp.concatenate([xys, ones], axis=-1)  # (M, 3) camera coords
-            dxyz = jnp.einsum("mi,mij->mj", xyw, Ri)  # = xyw @ R (rows)
-            return dxyz / jnp.linalg.norm(dxyz, axis=-1, keepdims=True)
+            # Expand per match via nine 1-D component gathers, NOT R[idx]:
+            # a (M, 3, 3) gather output would be tile-padded (3, 3) ->
+            # (8, 128) in HBM — a 42x blowup that OOMs at millions of
+            # matches. (M,)-shaped arrays stay unpadded.
+            x, y = xys[:, 0], xys[:, 1]
+            d = []
+            for j in range(3):
+                d.append(
+                    x * R[:, 0, j][idx]
+                    + y * R[:, 1, j][idx]
+                    + R[:, 2, j][idx]
+                )
+            norm = jnp.sqrt(d[0] * d[0] + d[1] * d[1] + d[2] * d[2])
+            return jnp.stack([c / norm for c in d], axis=-1)
 
         def objective(flat):
             viewdirs = flat.reshape(-1, 3)
