@@ -173,6 +173,38 @@ def test_fused_resample_kernel_exact() -> None:
     for k in range(K):
         want = np.take_along_axis(np.asarray(cols[k]), idx, 1)
         assert (np.asarray(out[k]) == want).all()
+    # bfloat16 payload columns replicate bit-exactly too.
+    cols16 = [c.astype(jnp.bfloat16) for c in cols[:2]]
+    out16 = systematic_resample_gather(t, cols16, interpret=True)
+    for k in range(2):
+        want = np.take_along_axis(
+            np.asarray(cols16[k]).astype(np.float32), idx, 1
+        )
+        assert (np.asarray(out16[k]).astype(np.float32) == want).all()
+
+
+def test_batch_tracker_pallas_resample_ess_threshold() -> None:
+    """ESS-triggered resampling agrees between the fused Pallas path and
+    the XLA path (non-degraded points keep particles and weights)."""
+    cam, frames, _ = make_scene(n_frames=5)
+    rng = np.random.default_rng(2)
+    points_xy = rng.uniform(180, 320, size=(6, 2))
+    motion = make_motion(points_xy)
+    outs = {}
+    for mode in ("pallas", "xla"):
+        cfg = BatchConfig(
+            n_particles=256, template_size=(15, 15), search_size=(41, 41),
+            resample_mode=mode, resample_threshold=0.5,
+        )
+        tracker = BatchTracker(
+            camera_vectors=cam.to_array()[None], corrections=[None],
+            sigmas=[0.15], motion=motion, config=cfg,
+        )
+        _, outputs = tracker.track(
+            jax.random.PRNGKey(3), frames[:, None], np.ones(4)
+        )
+        outs[mode] = np.asarray(outputs["mean"])
+    np.testing.assert_allclose(outs["pallas"], outs["xla"], atol=1e-2)
 
 
 def test_batch_state_is_checkpointable() -> None:
