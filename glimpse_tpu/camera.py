@@ -417,10 +417,13 @@ class Camera:
 
     def viewpoly(self, depth: Number) -> np.ndarray:
         """Bounding polygon of the viewshed through the principal row."""
-        cy = self.imgsz[1] / 2 + self.c[1]
-        uv = np.array([(0, cy), (self.imgsz[0], cy)])
-        xyz = self.uv_to_xyz(uv, directions=False, depth=depth)
-        return np.vstack([self.xyz, xyz, self.xyz])
+        principal_row = self.imgsz[1] / 2 + self.c[1]
+        corners = self.uv_to_xyz(
+            np.column_stack([(0.0, self.imgsz[0]), (principal_row,) * 2]),
+            directions=False, depth=depth,
+        )
+        # Closed triangle: camera -> left edge -> right edge -> camera.
+        return np.concatenate([[self.xyz], corners, [self.xyz]], axis=0)
 
     def set_plot_limits(self) -> None:
         """Set current matplotlib axes limits to the image extent."""
@@ -431,12 +434,13 @@ class Camera:
 
     def rasterize(self, uv: np.ndarray, values: np.ndarray) -> np.ndarray:
         """Convert image points to a raster of per-pixel mean values (NaN empty)."""
-        mask = self.inframe(uv)
-        a = np.full((self.imgsz[1], self.imgsz[0]), np.nan)
+        out = np.full(tuple(self.imgsz[::-1].astype(int)), np.nan)
+        keep = self.inframe(uv)
+        rows_cols = uv[keep][:, ::-1].astype(int)
         helpers.rasterize_points(
-            uv[mask, 1].astype(int), uv[mask, 0].astype(int), values[mask], a=a
+            rows_cols[:, 0], rows_cols[:, 1], values[keep], a=out
         )
-        return a
+        return out
 
     def spherical_to_xyz(self, angles: np.ndarray) -> np.ndarray:
         """Convert spherical coordinates (azimuth, altitude[, distance]) to world."""

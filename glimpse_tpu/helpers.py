@@ -126,18 +126,19 @@ def get_scale_from_size(old: Iterable[int], new: Iterable[int]) -> Optional[floa
 def _sorted_neighbors(x: Iterable, y: Iterable) -> np.ndarray:
     """Return left/right neighbor indices (in ascending `x`) for each value in `y`."""
     x = np.asarray(x)
-    index = np.searchsorted(x, y)
-    index[(index > 0) & (index < len(x))] -= 1
-    index[index == len(x)] -= 2
-    return np.column_stack((index, index + 1))
+    # clip handles both edges: values before x[0] bracket (0, 1), values at
+    # or past x[-1] bracket (len-2, len-1).
+    left = np.clip(np.searchsorted(x, y) - 1, 0, len(x) - 2)
+    return np.column_stack((left, left + 1))
 
 
 def sorted_nearest(x: Iterable, y: Iterable) -> np.ndarray:
     """Return index of the nearest value in ascending `x` for each value in `y`."""
     x, y = np.asarray(x), np.asarray(y)
-    neighbors = _sorted_neighbors(x, y)
-    nearest = np.argmin(np.abs(y.reshape(-1, 1) - x[neighbors]), axis=1)
-    return neighbors[range(len(y)), nearest]
+    bracket = _sorted_neighbors(x, y)
+    gaps = np.abs(x[bracket] - y[:, None])
+    pick_right = gaps[:, 1] < gaps[:, 0]
+    return bracket[np.arange(len(y)), pick_right.astype(int)]
 
 
 # ---- Pickle / JSON ---- #

@@ -68,11 +68,12 @@ def _kernel(P: int, P_real: int, W: int, K: int, t_ref, *refs):
         for k in range(K):
             out_refs[k][...] = jnp.zeros_like(out_refs[k])
 
-    # Batched coarse brackets: for every (g, chunk) pair, count the source
-    # rows below the chunk's first/last integer thresholds — one fused
-    # compare-reduce per point instead of 2*nch scalar reductions (the
-    # per-chunk scalar sections, not the vector sweeps, dominate kernel
-    # time; measured 170 -> 123 ms at 10,240 x 2,048).
+    # Batched coarse brackets: count the source rows below every chunk's
+    # first/last integer thresholds in one compare-reduce per (point,
+    # bound) spanning ALL chunks at once, rather than two scalar
+    # reductions inside each chunk's loop body (the per-chunk scalar
+    # sections, not the vector sweeps, dominate kernel time; measured
+    # 170 -> 123 ms at 10,240 x 2,048).
     thr = _C * jax.lax.broadcasted_iota(jnp.int32, (nch, 1), 0)
     for g in range(_G_IN):
         trow = t_ref[g : g + 1, :]

@@ -169,12 +169,6 @@ def _batched_searchsorted(sorted_arrays, values, side: str = "left",
     return jnp.clip(insertion, 0, P - 1)
 
 
-# Methods whose index output is non-decreasing along the particle axis
-# (their positions are ascending and searchsorted is monotone) — these can
-# use the sorted-chunk gather instead of take_along_axis.
-SORTED_INDEX_METHODS = frozenset({"systematic", "stratified", "choice"})
-
-
 def resample_jax(key, weights, method: str = "systematic", u=None):
     """Resample indices on device; batched over leading axes.
 

@@ -133,38 +133,45 @@ class Lines(Points):
         self.density = density
         self._remember_camera_state()
 
+    def _frame_window_xy(self) -> np.ndarray:
+        """Bounding box, in normalized camera coordinates, spanned by the
+        frame edges (computed from densified edge samples so distortion
+        wrap-around cannot leak lines outside the view)."""
+        edge_xy = self.cam._uv_to_xy(self.cam.edges(step=self.cam.imgsz / 2))
+        return np.concatenate([edge_xy.min(axis=0), edge_xy.max(axis=0)])
+
     def _project_xyzs(self) -> List[np.ndarray]:
-        """Project world lines into the image at the target pixel density."""
-        xy_step = (1 / self.density) / self.cam.f.max()
-        uv_edges = self.cam.edges(step=self.cam.imgsz / 2)
-        xy_edges = self.cam._uv_to_xy(uv_edges)
-        xy_box = np.hstack((np.min(xy_edges, axis=0), np.max(xy_edges, axis=0)))
-        puvs = []
-        inlines = []
+        """Project world lines into the image at the target pixel density.
+
+        Two phases (reference optimize.py:320-353): (1) project every
+        polyline to normalized coordinates and split out the runs in front
+        of the camera; (2) clip those runs to the frame window, densify to
+        the target pixel step, and distort into pixels. If clipping leaves
+        nothing in frame, the in-front runs are projected raw instead.
+        """
+        in_front: List[np.ndarray] = []
         for xyz in self.xyzs:
             xy = self.cam._xyz_to_xy(np.asarray(xyz), directions=self.directions)
-            segments = helpers.boolean_split(xy, np.isnan(xy[:, 0]), include="false")
-            for segment in segments:
-                inlines.append(segment)
-                for clipped in helpers.clip_polyline_box(segment, xy_box):
-                    puvs.append(
-                        self.cam._xy_to_uv(
-                            helpers.interpolate_line(np.asarray(clipped), dx=xy_step)
-                        )
-                    )
-        if puvs:
-            return puvs
-        # Nothing in frame: fall back to the raw in-front vertices.
-        return [self.cam._xy_to_uv(segment) for segment in inlines]
+            in_front += helpers.boolean_split(
+                xy, np.isnan(xy[:, 0]), include="false"
+            )
+        window = self._frame_window_xy()
+        step = 1.0 / (self.density * self.cam.f.max())
+        visible = [
+            helpers.interpolate_line(np.asarray(run), dx=step)
+            for segment in in_front
+            for run in helpers.clip_polyline_box(segment, window)
+        ]
+        return [self.cam._xy_to_uv(xy) for xy in (visible or in_front)]
 
     def predicted(self, index: Index = slice(None)) -> np.ndarray:
         """Nearest projected world-line point for each observed image point."""
         self._test_position()
-        puv = np.vstack(self._project_xyzs())
-        distances = helpers.pairwise_distance(
-            self.observed(index=index), puv, metric="sqeuclidean"
+        candidates = np.concatenate(self._project_xyzs(), axis=0)
+        d2 = helpers.pairwise_distance(
+            self.observed(index=index), candidates, metric="sqeuclidean"
         )
-        return puv[np.argmin(distances, axis=1), :]
+        return candidates[d2.argmin(axis=1)]
 
     def _scale(self, scale: np.ndarray) -> None:
         if np.any(scale != 1):
@@ -248,10 +255,9 @@ class Matches:
     def predicted(self, cam: CamIndex = 0, index: Index = slice(None)) -> np.ndarray:
         """Image coordinates predicted from the other camera's observations."""
         self._test_position()
-        ci = self._cam_index(cam)
-        co = 0 if ci else 1
-        dxyz = self.cams[co].uv_to_xyz(self.uvs[co][index])
-        return self.cams[ci].xyz_to_uv(dxyz, directions=True)
+        into = self._cam_index(cam)
+        rays = self.cams[1 - into].uv_to_xyz(self.uvs[1 - into][index])
+        return self.cams[into].xyz_to_uv(rays, directions=True)
 
     def to_type(self, mtype: Type["Matches"]) -> "Matches":
         """Convert to another matches type."""
@@ -261,13 +267,13 @@ class Matches:
 
     def resize(self, size=None, force: bool = False) -> None:
         """Resize the cameras and their image coordinates together."""
-        for i, cam in enumerate(self.cams):
+        for i, (cam, old_size) in enumerate(zip(self.cams, self._imgszs)):
             if size is not None:
                 cam.resize(size=size, force=force)
-            scale = cam.imgsz / self._imgszs[i]
-            if np.any(scale != 1):
-                self.uvs[i] = self.uvs[i] * scale
-                self._imgszs[i] = cam.imgsz.copy()
+            if np.array_equal(cam.imgsz, old_size):
+                continue
+            self.uvs[i] = self.uvs[i] * (cam.imgsz / old_size)
+            self._imgszs[i] = cam.imgsz.copy()
 
     def filter(
         self,
@@ -349,11 +355,13 @@ class RotationMatches(Matches):
     def _parse_uvs_xys(self, uvs, xys):
         if uvs is None and xys is None:
             raise ValueError("Both uvs and xys are missing")
-        if uvs is not None:
-            uvs = [np.asarray(uv, dtype=float) for uv in uvs]
-        if xys is not None:
-            xys = [np.asarray(xy, dtype=float) for xy in xys]
-        return uvs, xys
+
+        def as_float_pair(pair):
+            return None if pair is None else [
+                np.asarray(p, dtype=float) for p in pair
+            ]
+
+        return as_float_pair(uvs), as_float_pair(xys)
 
     def _build_xys(self) -> List[np.ndarray]:
         if self.xys is None:
@@ -377,10 +385,9 @@ class RotationMatches(Matches):
         """Image coordinates predicted via the precomputed camera coordinates."""
         self._test_position()
         self._test_internals()
-        ci = self._cam_index(cam)
-        co = 0 if ci else 1
-        dxyz = self.cams[co]._xy_to_xyz(self.xys[co][index])
-        return self.cams[ci].xyz_to_uv(dxyz, directions=True)
+        into = self._cam_index(cam)
+        rays = self.cams[1 - into]._xy_to_xyz(self.xys[1 - into][index])
+        return self.cams[into].xyz_to_uv(rays, directions=True)
 
     def to_type(self, mtype: Type[Matches]) -> Matches:
         """Convert to another matches type."""
@@ -416,10 +423,9 @@ class RotationMatchesXY(RotationMatches):
         """Camera coordinates predicted from the other camera's observations."""
         self._test_position()
         self._test_internals()
-        ci = self._cam_index(cam)
-        co = 0 if ci else 1
-        dxyz = self.cams[co]._xy_to_xyz(self.xys[co][index])
-        return self.cams[ci]._xyz_to_xy(dxyz, directions=True)
+        into = self._cam_index(cam)
+        rays = self.cams[1 - into]._xy_to_xyz(self.xys[1 - into][index])
+        return self.cams[into]._xyz_to_xy(rays, directions=True)
 
     def to_type(self, mtype: Type[Matches]) -> Matches:
         """Convert to another matches type."""

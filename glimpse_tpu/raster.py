@@ -1064,37 +1064,50 @@ class RasterInterpolant:
     def _as_raster(
         self, obj, xi=None, d=None, xlim=None, ylim=None
     ) -> Raster:
-        t = xi if isinstance(xi, datetime_module.datetime) else None
-        if isinstance(obj, numbers.Number):
-            if xlim is None:
-                xlim = (-np.inf, np.inf)
-            if ylim is None:
-                ylim = (-np.inf, np.inf)
-            return Raster(obj, x=xlim, y=ylim, datetime=t)
-        if isinstance(obj, Raster):
-            d_change = d is not None and d != np.abs(obj.d).mean()
-            xlim_change = xlim is not None and sorted(xlim) != sorted(obj.xlim)
-            ylim_change = ylim is not None and sorted(ylim) != sorted(obj.ylim)
-            if any((d_change, xlim_change, ylim_change)):
-                obj = obj.copy()
-            if xlim_change or ylim_change:
-                obj.crop(xlim=xlim, ylim=ylim)
-            if d_change:
-                obj.resize(np.abs(obj.d).mean() / d)
-            return obj
+        """Materialize a mean/sigma source as a Raster on the requested grid.
+
+        Paths open windowed; scalars become infinite constant rasters;
+        in-memory rasters are cropped/rescaled on a copy (never mutating the
+        caller's object) only when the request differs from their grid.
+        """
+        stamp = xi if isinstance(xi, datetime_module.datetime) else None
         if isinstance(obj, (str, Path)):
-            return Raster.open(obj, d=d, xlim=xlim, ylim=ylim, datetime=t)
-        raise ValueError(f"Cannot cast as Raster: {type(obj)}")
+            return Raster.open(obj, d=d, xlim=xlim, ylim=ylim, datetime=stamp)
+        if isinstance(obj, numbers.Number):
+            return Raster(
+                obj,
+                x=(-np.inf, np.inf) if xlim is None else xlim,
+                y=(-np.inf, np.inf) if ylim is None else ylim,
+                datetime=stamp,
+            )
+        if not isinstance(obj, Raster):
+            raise ValueError(f"Cannot cast as Raster: {type(obj)}")
+
+        def same_span(want, have):
+            return want is None or sorted(want) == sorted(have)
+
+        needs_crop = not (
+            same_span(xlim, obj.xlim) and same_span(ylim, obj.ylim)
+        )
+        needs_rescale = d is not None and d != np.abs(obj.d).mean()
+        if not (needs_crop or needs_rescale):
+            return obj
+        out = obj.copy()
+        if needs_crop:
+            out.crop(xlim=xlim, ylim=ylim)
+        if needs_rescale:
+            out.resize(np.abs(out.d).mean() / d)
+        return out
 
     def _mean_grid(self, index: int) -> Grid:
-        obj = self.means[index]
-        if isinstance(obj, Raster):
-            return obj.grid
-        if isinstance(obj, (str, Path)):
-            return Grid.read(obj)
-        if isinstance(obj, numbers.Number):
+        source = self.means[index]
+        if isinstance(source, numbers.Number):
             return Grid((1, 1), x=(-np.inf, np.inf), y=(-np.inf, np.inf))
-        raise ValueError(f"Cannot cast as Grid: {type(obj)}")
+        if isinstance(source, (str, Path)):
+            return Grid.read(source)
+        if not isinstance(source, Raster):
+            raise ValueError(f"Cannot cast as Grid: {type(source)}")
+        return source.grid
 
     def _read_mean(self, index, d=None, xlim=None, ylim=None, zlim=None,
                    fun: Callable = None, **kwargs) -> Raster:

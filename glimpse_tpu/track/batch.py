@@ -750,7 +750,14 @@ class BatchTracker:
                 raise ValueError(
                     f"Points on non-visible viewshed cells: {bad.tolist()}"
                 )
-        self.camera_vectors = jnp.asarray(camera_vectors, dtype=jnp.float32)
+        # Cameras and motion parameters stay HOST-side (NumPy) and are
+        # passed to the jitted step as arguments, never closed over: a
+        # closed-over device array is baked into the executable as a
+        # constant by fetching it at lowering time — one transient backend
+        # error during that fetch kills the whole program, and large DEMs
+        # bloat every compiled executable.
+        self.camera_vectors = np.asarray(camera_vectors, dtype=np.float32)
+        motion = jax.tree_util.tree_map(np.asarray, motion)
         self.corrections = list(corrections)
         self.sigmas = tuple(float(s) for s in sigmas)
         self.motion = motion
@@ -830,24 +837,53 @@ class BatchTracker:
 
         return jax.tree_util.tree_map(place, tree)
 
+    # -- argument plumbing -- #
+
+    def _device_motion(self) -> BatchMotion:
+        """The motion pytree ready to pass as a jit argument.
+
+        Host NumPy leaves pass through unchanged (jit device-puts them);
+        under a mesh they are pre-placed with the points-axis sharding.
+        """
+        if self.mesh is None:
+            return self.motion
+        return self._shard(self.motion)
+
+    def _device_cams(self):
+        if self.mesh is None:
+            return self.camera_vectors
+        from ..parallel.mesh import replicated_sharding
+
+        return jax.device_put(
+            self.camera_vectors, replicated_sharding(self.mesh)
+        )
+
     # -- initialization -- #
 
     def initialize(
-        self, key, images0, noise=None, camera_vectors=None
+        self, key, images0, noise=None, camera_vectors=None, motion=None
     ) -> BatchState:
         """Initialize particles, weights, and templates from the first frame.
 
         ``images0``: (O, H, W) float image per observer at template time.
+        When observers fired their first frames at different times, stack
+        each observer's first *available* frame here (templates are
+        per-observer; see ``obs_mask`` in :meth:`step`).
         ``noise`` optionally injects the initial standard-normal draws
         (see :meth:`BatchMotion.initialize`). ``camera_vectors`` (O, 20)
         overrides the constructor cameras for the template frame.
+        ``motion`` overrides the constructor motion (used by the jitted
+        sequence paths to pass parameters as arguments instead of baking
+        them into the executable as constants).
         """
         cfg = self.config
-        N = self.motion.n_points
+        if motion is None:
+            motion = self.motion
+        N = motion.n_points
         th, tw = cfg.template_size
         key, sub = jax.random.split(key)
         cams = self.camera_vectors if camera_vectors is None else camera_vectors
-        particles = self.motion.initialize(sub, cfg.n_particles, noise=noise)
+        particles = motion.initialize(sub, cfg.n_particles, noise=noise)
         weights = jnp.ones((N, cfg.n_particles), dtype=cfg.dtype)
         templates, tables, duvs = [], [], []
         for o in range(self.n_observers):
@@ -892,7 +928,7 @@ class BatchTracker:
 
     def step(
         self, state: BatchState, images, dt_units, noise=None,
-        camera_vectors=None,
+        camera_vectors=None, obs_mask=None, motion=None,
     ) -> Tuple[BatchState, dict]:
         """One PF update: evolve -> weight by all observers -> resample.
 
@@ -902,21 +938,37 @@ class BatchTracker:
         lockstep validation. ``camera_vectors`` (O, 20) overrides the
         constructor cameras for this frame — per-frame view directions from
         :class:`~glimpse_tpu.optimize.ObserverCameras` stabilization plug in
-        here. Returns (new state, outputs dict).
+        here. ``obs_mask`` (O,) marks observers with a valid image this
+        step: an invalid observer (camera that did not fire at this
+        datetime, or a skipped out-of-bounds observation) contributes zero
+        log-likelihood, the reference's skip semantics
+        (``/root/reference/src/glimpse/track/tracker.py:305-374,597-601``);
+        when NO term is informative this step, weights carry over unchanged
+        (reference ``update_weights`` leaves weights untouched when every
+        observer is skipped, ``tracker.py:126-149``). ``motion`` overrides
+        the constructor motion (argument-passing for the jitted paths).
+        Returns (new state, outputs dict).
         """
         cfg = self.config
         noise = noise or {}
+        if motion is None:
+            motion = self.motion
         cams = self.camera_vectors if camera_vectors is None else camera_vectors
         key = state.key
         key, k_evolve, k_resample = jax.random.split(key, 3)
         # Motion parameters are float32; keep the carried state in cfg.dtype
         # (scan requires carry-type stability, e.g. for bfloat16 configs).
-        particles = self.motion.evolve(
+        particles = motion.evolve(
             k_evolve, state.particles, dt_units, noise=noise
         ).astype(cfg.dtype)
-        ll = self.motion.log_likelihoods(particles).astype(cfg.dtype)
+        ll = motion.log_likelihoods(particles).astype(cfg.dtype)
+        # Static: does the motion prior contribute a likelihood term?
+        motion_informative = (
+            motion.kind in ("cartesian", "cylindrical")
+            and motion.use_dem_sigma
+        )
         for o in range(self.n_observers):
-            ll = ll + observer_log_likelihoods(
+            term = observer_log_likelihoods(
                 images[o],
                 cams[o],
                 self.corrections[o],
@@ -929,6 +981,9 @@ class BatchTracker:
                 cfg,
                 mesh=self.mesh,
             )
+            if obs_mask is not None:
+                term = term * obs_mask[o].astype(cfg.dtype)
+            ll = ll + term
         # Per-point shift keeps exp() in range regardless of absolute scale.
         ll = ll - jnp.min(ll, axis=-1, keepdims=True)
         P = particles.shape[1]
@@ -939,6 +994,12 @@ class BatchTracker:
             # Proper SIR: accumulate importance weights across steps.
             weights = state.weights * jnp.exp(-ll).astype(cfg.dtype) + 1e-30
             weights = weights / jnp.mean(weights, axis=-1, keepdims=True)
+        if obs_mask is not None and not motion_informative:
+            # All observers masked out and no motion prior: no information
+            # arrived this step — carry the previous weights (the reference
+            # resamples with unchanged weights in this case).
+            has_update = jnp.sum(obs_mask) > 0
+            weights = jnp.where(has_update, weights, state.weights)
         # Record the posterior moments from the fresh likelihood weights
         # (before resampling): the post-resample gathered-weight estimator
         # effectively weights particles by likelihood^2 and is noisier.
@@ -1000,12 +1061,19 @@ class BatchTracker:
 
     @functools.cached_property
     def _scan(self):
-        """Jitted scan over the time axis (compiled once per tracker)."""
+        """Jitted scan over the time axis (compiled once per tracker).
 
-        def run(state: BatchState, images, dts):
+        Motion and cameras are ARGUMENTS, not closures: closed-over device
+        arrays are fetched at lowering time and baked into the executable
+        as constants (fragile and bloated; see ``__init__``).
+        """
+
+        def run(state: BatchState, images, dts, motion, cams):
             def body(carry, xs):
                 frame, dt = xs
-                new_state, out = self.step(carry, frame, dt)
+                new_state, out = self.step(
+                    carry, frame, dt, camera_vectors=cams, motion=motion
+                )
                 return new_state, out
 
             return jax.lax.scan(body, state, (images, dts))
@@ -1016,29 +1084,52 @@ class BatchTracker:
     def _track_jit(self):
         """Jitted init + scan: one device dispatch for a whole sequence."""
 
-        def run(key, images, dts):
-            state = self.initialize(key, images[0])
+        def run(key, images, dts, motion, cams, obs_masks):
+            state = self.initialize(
+                key, images[0], camera_vectors=cams, motion=motion
+            )
 
             def body(carry, xs):
-                frame, dt = xs
-                new_state, out = self.step(carry, frame, dt)
+                if obs_masks is None:
+                    frame, dt = xs
+                    mask = None
+                else:
+                    frame, dt, mask = xs
+                new_state, out = self.step(
+                    carry, frame, dt, camera_vectors=cams, obs_mask=mask,
+                    motion=motion,
+                )
                 return new_state, out
 
-            return jax.lax.scan(body, state, (images[1:], dts))
+            xs = (
+                (images[1:], dts)
+                if obs_masks is None
+                else (images[1:], dts, obs_masks)
+            )
+            return jax.lax.scan(body, state, xs)
 
         return jax.jit(run)
 
-    def track(self, key, images, dts, noise=None) -> Tuple[BatchState, dict]:
+    def track(
+        self, key, images, dts, noise=None, obs_masks=None
+    ) -> Tuple[BatchState, dict]:
         """Track through a sequence held in device memory.
 
         Arguments:
             key: PRNG key.
             images: (T, O, H, W) image sequence (frame 0 initializes
-                templates; frames 1..T-1 are observations).
+                templates; frames 1..T-1 are observations). Frames masked
+                out by ``obs_masks`` must still be finite arrays (zeros
+                work) — they are computed then zero-weighted.
             dts: (T-1,) time steps in motion time units.
             noise: Optional injected random draws for lockstep validation:
                 {"init": {"xy","z","v"}, "a": (T-1,N,P,3),
                  "zwalk": (T-1,N,P), "resample_u": (T-1,N)} (all optional).
+            obs_masks: Optional (T-1, O) validity flags; 0 marks an
+                observer with no image at that step (reference skip
+                semantics, see :meth:`step`). Build from host
+                ``Tracker.match_datetimes`` with
+                :func:`masks_from_frame_table`.
 
         Returns:
             (final state, outputs) where outputs['mean'] is (T-1, N, 6) and
@@ -1050,8 +1141,12 @@ class BatchTracker:
 
             images = jax.device_put(images, replicated_sharding(self.mesh))
         dts = jnp.asarray(dts, dtype=self.config.dtype)
+        if obs_masks is not None:
+            obs_masks = jnp.asarray(obs_masks, dtype=self.config.dtype)
+        motion = self._device_motion()
+        cams = self._device_cams()
         if noise is None:
-            return self._track_jit(key, images, dts)
+            return self._track_jit(key, images, dts, motion, cams, obs_masks)
         # Lockstep path: thread the per-step draws through the scan.
         init_noise = noise.get("init", None)
         step_noise = {
@@ -1059,18 +1154,36 @@ class BatchTracker:
             for k in ("a", "zwalk", "resample_u")
             if k in noise
         }
-        state = jax.jit(self.initialize)(key, images[0], noise=init_noise)
+        state = jax.jit(self.initialize)(
+            key, images[0], noise=init_noise, camera_vectors=cams,
+            motion=motion,
+        )
 
-        def body(carry, xs):
-            frame, dt, per_step = xs
-            return self.step(carry, frame, dt, noise=per_step)
+        def body_fn(motion, carry, xs):
+            if obs_masks is None:
+                frame, dt, per_step = xs
+                mask = None
+            else:
+                frame, dt, per_step, mask = xs
+            return self.step(
+                carry, frame, dt, noise=per_step, obs_mask=mask,
+                motion=motion,
+            )
 
+        xs = (
+            (images[1:], dts, step_noise)
+            if obs_masks is None
+            else (images[1:], dts, step_noise, obs_masks)
+        )
         return jax.jit(
-            lambda s, im, d, sn: jax.lax.scan(body, s, (im, d, sn))
-        )(state, images[1:], dts, step_noise)
+            lambda m, s, xs: jax.lax.scan(
+                functools.partial(body_fn, m), s, xs
+            )
+        )(motion, state, xs)
 
     def track_stream(
-        self, key, first_frame, frame_iter, dts, camera_vectors_seq=None
+        self, key, first_frame, frame_iter, dts, camera_vectors_seq=None,
+        obs_masks=None,
     ) -> Tuple[BatchState, list]:
         """Track a sequence streamed frame by frame from the host.
 
@@ -1079,31 +1192,51 @@ class BatchTracker:
         decodes the next one (double buffering via async dispatch).
         ``camera_vectors_seq`` (T, O, 20) optionally supplies per-frame
         cameras (index 0 is the template frame) — the stabilized-sequence
-        workflow.
+        workflow. ``obs_masks`` (T-1, O), aligned with ``dts``, marks
+        observers with a valid image per step (see :meth:`track`).
         """
         step = jax.jit(self.step)
-        cams0 = None
+        motion = self._device_motion()
+        cams_default = self._device_cams()
+        cams0 = cams_default
         if camera_vectors_seq is not None:
             camera_vectors_seq = jnp.asarray(camera_vectors_seq, jnp.float32)
             cams0 = camera_vectors_seq[0]
+        if obs_masks is not None:
+            obs_masks = jnp.asarray(obs_masks, dtype=self.config.dtype)
         # Jitted initialization: run eagerly, every op compiles as its own
         # tiny executable (minutes through a remote-compile backend).
         state = jax.jit(self.initialize)(
             key, jnp.asarray(first_frame, self.config.dtype),
-            camera_vectors=cams0,
+            camera_vectors=cams0, motion=motion,
         )
         outputs = []
         for t, (frame, dt) in enumerate(zip(frame_iter, dts), start=1):
             frame = jnp.asarray(frame, self.config.dtype)
             cams_t = (
-                None if camera_vectors_seq is None else camera_vectors_seq[t]
+                cams_default
+                if camera_vectors_seq is None
+                else camera_vectors_seq[t]
             )
+            mask_t = None if obs_masks is None else obs_masks[t - 1]
             state, out = step(
                 state, frame, jnp.asarray(dt, self.config.dtype),
-                camera_vectors=cams_t,
+                camera_vectors=cams_t, obs_mask=mask_t, motion=motion,
             )
             outputs.append(out)
         return state, outputs
+
+
+def masks_from_frame_table(frame_table) -> np.ndarray:
+    """Observation validity masks from a host frame-index table.
+
+    ``frame_table``: (T, O) array of image-index-or-None, as produced by
+    :meth:`glimpse_tpu.track.tracker.Tracker.match_datetimes`. Returns a
+    (T, O) float32 array with 1 where the observer has an image; pass
+    ``masks[1:]`` as ``obs_masks`` to :meth:`BatchTracker.track` /
+    :meth:`BatchTracker.track_stream` (row 0 is the template frame).
+    """
+    return np.not_equal(np.asarray(frame_table), None).astype(np.float32)
 
 
 def particle_moments(particles, weights):

@@ -26,6 +26,25 @@ def _as_raster(obj) -> Raster:
     return Raster(obj, x=[-np.inf, np.inf], y=[-np.inf, np.inf])
 
 
+def _rotate_polar_accel(v_xy: np.ndarray, radial: np.ndarray,
+                        angular: np.ndarray) -> np.ndarray:
+    """Rotate per-particle polar acceleration onto the velocity frame.
+
+    The radial component acts along the unit velocity; the angular
+    component is a rate of turn, contributing speed x angular along the
+    left normal (-vy, vx)/speed. Returns (n, 2) cartesian accelerations.
+    (No zero-speed guard, matching the reference's polar models — they are
+    meant for flows with nonzero drift.)
+    """
+    speed = np.hypot(v_xy[:, 0], v_xy[:, 1])
+    unit = v_xy / speed[:, None]
+    left_normal = np.empty_like(unit)
+    left_normal[:, 0] = -unit[:, 1]
+    left_normal[:, 1] = unit[:, 0]
+    scale = (speed * angular)[:, None]
+    return radial[:, None] * unit + scale * left_normal
+
+
 class Motion:
     """Minimal motion model: fixed initial position, drifting velocity.
 
@@ -175,21 +194,18 @@ class CylindricalMotion(CartesianMotion):
         return particles
 
     def evolve_particles(self, particles: np.ndarray, dt: datetime.timedelta) -> None:
-        n = len(particles)
         units = dt.total_seconds() / self.time_unit.total_seconds()
-        vx, vy = particles[:, 3], particles[:, 4]
-        vr = np.sqrt(vx ** 2 + vy ** 2)
-        arthz = self.arthz + self.arthz_sigma * self.rng.standard_normal((n, 3))
-        # Polar acceleration decomposed onto the instantaneous direction.
-        axyz = np.column_stack(
-            (
-                arthz[:, 0] * (vx / vr) - vy * arthz[:, 1],
-                arthz[:, 0] * (vy / vr) + vx * arthz[:, 1],
-                arthz[:, 2],
-            )
+        draws = self.rng.standard_normal((len(particles), 3))
+        polar = self.arthz + self.arthz_sigma * draws
+        accel = np.empty((len(particles), 3))
+        accel[:, 0:2] = _rotate_polar_accel(
+            particles[:, 3:5], polar[:, 0], polar[:, 1]
         )
-        particles[:, 0:3] += units * particles[:, 3:6] + 0.5 * axyz * units ** 2
-        particles[:, 3:6] += units * axyz
+        accel[:, 2] = polar[:, 2]
+        particles[:, 0:3] += units * particles[:, 3:6] + (
+            0.5 * units * units
+        ) * accel
+        particles[:, 3:6] += units * accel
 
 
 class TangentCartesianMotion(Motion):
@@ -241,21 +257,28 @@ class TangentCartesianMotion(Motion):
         )
         return particles
 
-    def evolve_particles(self, particles: np.ndarray, dt: datetime.timedelta) -> None:
-        n = len(particles)
-        units = dt.total_seconds() / self.time_unit.total_seconds()
-        axy = self.axy + self.axy_sigma * self.rng.standard_normal((n, 2))
-        dxy = units * particles[:, 3:5] + 0.5 * axy * units ** 2
-        # Offsets are recovered from current z (particles may have been
-        # resampled since the last step), then random-walked.
-        z_offsets = particles[:, 2] - self.dem.sample(particles[:, 0:2])
-        z_offsets += (
-            self.slope_sigma
-            * self.rng.standard_normal(n)
-            * np.sqrt((dxy ** 2).sum(axis=1))
-        )
+    def _glide(self, particles: np.ndarray, dxy: np.ndarray) -> None:
+        """Move horizontally by ``dxy``, keeping z glued to the DEM.
+
+        The height offset from the DEM only survives resampling through z
+        itself, so it is recovered before the move (reference
+        motion.py:405-411) and random-walked in proportion to the
+        horizontal step length and the small-scale slope.
+        """
+        offset = particles[:, 2] - self.dem.sample(particles[:, 0:2])
+        step = np.hypot(dxy[:, 0], dxy[:, 1])
+        offset += self.slope_sigma * self.rng.standard_normal(
+            len(particles)
+        ) * step
         particles[:, 0:2] += dxy
-        particles[:, 2] = self.dem.sample(particles[:, 0:2]) + z_offsets
+        particles[:, 2] = offset + self.dem.sample(particles[:, 0:2])
+
+    def evolve_particles(self, particles: np.ndarray, dt: datetime.timedelta) -> None:
+        units = dt.total_seconds() / self.time_unit.total_seconds()
+        draws = self.rng.standard_normal((len(particles), 2))
+        axy = self.axy + self.axy_sigma * draws
+        dxy = units * particles[:, 3:5] + (0.5 * units * units) * axy
+        self._glide(particles, dxy)
         particles[:, 3:5] += units * axy
 
 
@@ -302,24 +325,11 @@ class TangentCylindricalMotion(TangentCartesianMotion):
         return particles
 
     def evolve_particles(self, particles: np.ndarray, dt: datetime.timedelta) -> None:
-        n = len(particles)
         units = dt.total_seconds() / self.time_unit.total_seconds()
-        vx, vy = particles[:, 3], particles[:, 4]
-        vr = np.sqrt(vx ** 2 + vy ** 2)
-        arth = self.arth + self.arth_sigma * self.rng.standard_normal((n, 2))
-        axy = np.column_stack(
-            (
-                arth[:, 0] * (vx / vr) - vy * arth[:, 1],
-                arth[:, 0] * (vy / vr) + vx * arth[:, 1],
-            )
-        )
-        dxy = units * particles[:, 3:5] + 0.5 * axy * units ** 2
-        z_offsets = particles[:, 2] - self.dem.sample(particles[:, 0:2])
-        z_offsets += (
-            self.slope_sigma
-            * self.rng.standard_normal(n)
-            * np.sqrt((dxy ** 2).sum(axis=1))
-        )
-        particles[:, 0:2] += dxy
-        particles[:, 2] = self.dem.sample(particles[:, 0:2]) + z_offsets
+        draws = self.rng.standard_normal((len(particles), 2))
+        polar = self.arth + self.arth_sigma * draws
+        axy = _rotate_polar_accel(particles[:, 3:5], polar[:, 0], polar[:, 1])
+        dxy = units * particles[:, 3:5] + (0.5 * units * units) * axy
+        self._glide(particles, dxy)
+        particles[:, 3:5] += units * axy
         particles[:, 3:5] += units * axy

@@ -129,10 +129,10 @@ class Tracker:
     # ---- Filter steps ---- #
 
     def test_particles(self) -> None:
-        """Raise if particles are NaN or fall on non-visible viewshed cells."""
+        """Raise if particles fall on non-visible viewshed cells or are NaN."""
         if self.viewshed is not None:
-            visible = self.viewshed.sample(self.particles[:, 0:2], order=0)
-            if not all(visible):
+            on_visible = self.viewshed.sample(self.particles[:, 0:2], order=0)
+            if not np.all(on_visible > 0):
                 raise ValueError("Some particles are on non-visible viewshed cells")
         if np.isnan(self.particles).any():
             raise ValueError("Some particles have missing (NaN) values")
@@ -302,17 +302,22 @@ class Tracker:
         datetimes: Iterable[datetime.datetime],
         maxdt: datetime.timedelta = datetime.timedelta(0),
     ) -> np.ndarray:
-        """Image index (or None) for each (datetime, observer) pair."""
-        matches = np.full((len(datetimes), len(self.observers)), None)
-        for i, observer in enumerate(self.observers):
-            distances = helpers.pairwise_distance_datetimes(
+        """Image index (or None) for each (datetime, observer) pair.
+
+        An entry is filled only when the observer's nearest image falls
+        within ``maxdt`` of the requested datetime (reference
+        tracker.py:466-492 skip semantics).
+        """
+        tolerance = abs(maxdt.total_seconds())
+        table = np.full((len(datetimes), len(self.observers)), None)
+        for j, observer in enumerate(self.observers):
+            gaps = helpers.pairwise_distance_datetimes(
                 datetimes, observer.datetimes
             )
-            nearest = np.argmin(distances, axis=1)
-            matches[:, i] = nearest
-            nearest_distance = distances[np.arange(len(distances)), nearest]
-            matches[nearest_distance > abs(maxdt.total_seconds()), i] = None
-        return matches
+            best = gaps.argmin(axis=1)
+            within = gaps[np.arange(best.size), best] <= tolerance
+            table[within, j] = best[within]
+        return table
 
     # ---- Main loop ---- #
 

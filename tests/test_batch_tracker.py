@@ -793,3 +793,162 @@ def test_per_frame_camera_vectors_match_constant() -> None:
 
     constant = np.tile(cam.to_array()[None, None], (len(frames), 1, 1))
     np.testing.assert_allclose(run(constant), run(None), atol=1e-5)
+
+
+def _host_lockstep_masked(frames, cam, starts, n_particles, obs_present,
+                          init_xy, init_v, accel, resample_u, sigma=0.15):
+    """Host Tracker driven with injected noise; observer 1 present per
+    ``obs_present`` (reference skip semantics via imgs=[t, None])."""
+    import copy
+    import datetime
+
+    from glimpse_tpu.raster import Raster
+    from glimpse_tpu.track import CartesianMotion, Observer, Tracker
+
+    imgsz = frames.shape[-1]
+    cx, cy = cam.xyz[0], cam.xyz[1]
+    t0 = datetime.datetime(2020, 1, 1)
+    day = datetime.timedelta(days=1)
+    rasters = [
+        Raster(
+            f,
+            x=(cx - imgsz / 2, cx + imgsz / 2),
+            y=(cy + imgsz / 2, cy - imgsz / 2),
+            datetime=t0 + i * day,
+        )
+        for i, f in enumerate(frames)
+    ]
+    observers = [Observer(rasters, sigma=sigma), Observer(rasters, sigma=sigma)]
+    host = Tracker(observers)
+    n_points, n_frames = len(starts), len(frames)
+    means = np.zeros((n_points, n_frames - 1, 2))
+    for i in range(n_points):
+        worker = copy.copy(host)
+        worker.reset()
+        motion = CartesianMotion(
+            xy=tuple(starts[i]), time_unit=day, dem=0.0, dem_sigma=None,
+            n=n_particles, xy_sigma=(1.5, 1.5), vxyz_sigma=(0.5, 0.5, 0),
+            axyz_sigma=(0.2, 0.2, 0),
+        )
+        particles = np.zeros((n_particles, 6))
+        particles[:, 0:2] = starts[i] + 1.5 * init_xy[i]
+        particles[:, 3:6] = np.array([0.5, 0.5, 0.0]) * init_v[i]
+        worker.particles = particles
+        worker.initialize_weights()
+        worker.initialize_template(obs=0, img=0, tile_size=(15, 15))
+        worker.initialize_template(obs=1, img=0, tile_size=(15, 15))
+        for t in range(1, n_frames):
+            axyz = np.array([0.2, 0.2, 0.0]) * accel[t - 1, i]
+            worker.particles[:, 0:3] += worker.particles[:, 3:6] + 0.5 * axyz
+            worker.particles[:, 3:6] += axyz
+            imgs = [t, t if obs_present[t - 1] else None]
+            worker.update_weights(imgs=imgs)
+            w = worker.weights / worker.weights.sum()
+            means[i, t - 1] = (worker.particles[:, 0:2] * w[:, None]).sum(0)
+            positions = (np.arange(n_particles) + resample_u[t - 1, i]) / n_particles
+            idx = np.searchsorted(np.cumsum(w), positions)
+            worker.particles = worker.particles[idx]
+            worker.weights = worker.weights[idx]
+    return means
+
+
+def test_observation_masks_lockstep_matches_host() -> None:
+    """Observer B missing ~30% of frames: the device obs_mask path matches
+    the host tracker's skip semantics under shared noise draws
+    (reference tracker.py:305-374,597-601)."""
+    n_points, n_particles, n_frames = 3, 300, 8
+    cam, frames, _ = make_scene(n_frames=n_frames, velocity=(1.2, -0.7))
+    rng = np.random.default_rng(5)
+    starts = rng.uniform(190, 310, size=(n_points, 2))
+    noise_rng = np.random.default_rng(99)
+    init_xy = noise_rng.standard_normal((n_points, n_particles, 2))
+    init_v = noise_rng.standard_normal((n_points, n_particles, 3))
+    accel = noise_rng.standard_normal((n_frames - 1, n_points, n_particles, 3))
+    resample_u = noise_rng.random((n_frames - 1, n_points))
+    # Observer B misses ~30% of observation frames.
+    obs_present = np.array([True, False, True, True, False, True, True])
+
+    host_means = _host_lockstep_masked(
+        frames, cam, starts, n_particles, obs_present,
+        init_xy, init_v, accel, resample_u,
+    )
+
+    motion = BatchMotion(
+        kind="cartesian",
+        xy=jnp.asarray(starts, jnp.float32),
+        xy_sigma=jnp.full((n_points, 2), 1.5, jnp.float32),
+        v_mean=jnp.zeros((n_points, 3), jnp.float32),
+        v_sigma=jnp.full((n_points, 3), 0.5, jnp.float32).at[:, 2].set(0.0),
+        a_mean=jnp.zeros((n_points, 3), jnp.float32),
+        a_sigma=jnp.full((n_points, 3), 0.2, jnp.float32).at[:, 2].set(0.0),
+        slope_sigma=jnp.zeros((n_points,), jnp.float32),
+        dem=DeviceRaster.constant(0.0),
+        dem_sigma=DeviceRaster.constant(0.0),
+        use_dem_sigma=False,
+    )
+    cfg = BatchConfig(
+        n_particles=n_particles, template_size=(15, 15), search_size=(41, 41)
+    )
+    tracker = BatchTracker(
+        camera_vectors=np.stack([cam.to_array(), cam.to_array()]),
+        corrections=[None, None], sigmas=[0.15, 0.15],
+        motion=motion, config=cfg,
+    )
+    obs_masks = np.stack(
+        [np.ones(n_frames - 1), obs_present.astype(float)], axis=1
+    )
+    _, outputs = tracker.track(
+        jax.random.PRNGKey(0), np.repeat(frames[:, None], 2, axis=1),
+        np.ones(n_frames - 1, np.float32),
+        noise={
+            "init": {
+                "xy": jnp.asarray(init_xy, jnp.float32),
+                "v": jnp.asarray(init_v, jnp.float32),
+            },
+            "a": jnp.asarray(accel, jnp.float32),
+            "resample_u": jnp.asarray(resample_u, jnp.float32),
+        },
+        obs_masks=obs_masks,
+    )
+    batch_means = np.moveaxis(np.asarray(outputs["mean"])[:, :, 0:2], 0, 1)
+    diff = np.linalg.norm(batch_means - host_means, axis=-1)
+    assert diff.max() < 0.1, diff.max()
+
+
+def test_all_observers_masked_step_carries_weights() -> None:
+    """A step with every observer masked out receives no information: the
+    device path must carry weights over (reference update_weights leaves
+    weights unchanged when all observers are skipped)."""
+    cam, frames, _ = make_scene(n_frames=4)
+    motion = make_motion(np.array([[250.0, 250.0], [230.0, 260.0]]))
+    cfg = BatchConfig(n_particles=128, template_size=(11, 11), search_size=(25, 25))
+    tracker = BatchTracker(
+        camera_vectors=cam.to_array()[None], corrections=[None], sigmas=[0.15],
+        motion=motion, config=cfg,
+    )
+    state = tracker.initialize(jax.random.PRNGKey(0), jnp.asarray(frames[0])[None])
+    state, _ = jax.jit(tracker.step)(
+        state, jnp.asarray(frames[1])[None], jnp.float32(1.0)
+    )
+    w_before = np.asarray(state.weights)
+    masked, _ = jax.jit(tracker.step)(
+        state, jnp.asarray(frames[2])[None], jnp.float32(1.0),
+        obs_mask=jnp.zeros(1, jnp.float32),
+    )
+    # Weights carried through the (identity-free) resample: the multiset of
+    # weight values per point is preserved up to resampling replication —
+    # with carried weights the systematic resample is driven by them, so
+    # compare the weighted mean of the particles instead: it must match a
+    # motion-only evolution (no likelihood reweighting).
+    unmasked, _ = jax.jit(tracker.step)(
+        state, jnp.asarray(frames[2])[None], jnp.float32(1.0),
+    )
+    # Masked step must NOT equal the unmasked step (information was real)...
+    assert not np.allclose(
+        np.asarray(masked.weights), np.asarray(unmasked.weights)
+    )
+    # ...and its resampled weights must be drawn from the carried weight
+    # values, not from a fresh likelihood (subset check).
+    carried_vals = np.unique(np.round(w_before, 6))
+    masked_vals = np.unique(np.round(np.asarray(masked.weights), 6))
+    assert np.isin(masked_vals, carried_vals).all()
