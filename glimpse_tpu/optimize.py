@@ -27,6 +27,7 @@ from . import config, helpers
 from .camera import Camera
 from .image import Image
 from .io import geotiff
+from .ops import projection as proj
 from .ops import sampling as sampling_ops
 
 try:
@@ -879,6 +880,181 @@ class Cameras:
                     ] = 1
         self.sparsity = S
 
+    # -- exact Jacobians (autodiff) -- #
+
+    def _autodiff_supported(self) -> bool:
+        """Whether every control has a JAX-traceable residual.
+
+        ``Lines`` is excluded (its prediction re-clips and re-densifies
+        polylines and re-solves a nearest-neighbor assignment, all with
+        data-dependent shapes); ``RotationMatchesXYZ`` has no ``observed``
+        (it exists only for :class:`ObserverCameras`).
+        """
+        for control in self.controls:
+            if isinstance(control, (Lines, RotationMatchesXYZ)):
+                return False
+            if not isinstance(control, (Points, Matches)):
+                return False
+        return True
+
+    def _build_autodiff_residual(self):
+        """One JAX-traceable function params -> residual array (n, 2).
+
+        The TPU-first replacement for the reference's finite-difference
+        Jacobians + hand-built sparsity (reference optimize.py:1781-1878;
+        SURVEY.md section 3.3): the residual stack is rebuilt on the pure
+        dual-backend projection ops, so ``jax.jacfwd`` delivers exact
+        derivatives. Free parameters scatter into the 20-vectors exactly
+        like :meth:`set_cameras` (groups first, then per-camera blocks);
+        the fit-start camera vectors arrive as the ``base`` argument, so
+        non-free entries stay at their current values for one fit while the
+        compiled program remains reusable across fits.
+        """
+        import jax.numpy as jnp
+
+        writes = []  # (camera row, 20-vector positions, parameter indices)
+        for g, members in enumerate(self.group_indices):
+            span = np.arange(self.group_breaks[g], self.group_breaks[g + 1])
+            pos = np.flatnonzero(self.group_masks[g])
+            writes += [(j, pos, span) for j in members]
+        for j, mask in enumerate(self.cam_masks):
+            span = np.arange(self.cam_breaks[j], self.cam_breaks[j + 1])
+            writes.append((j, np.flatnonzero(mask), span))
+        writes = [w for w in writes if len(w[1])]
+
+        cam_row = {id(cam): i for i, cam in enumerate(self.cams)}
+        terms = []
+        for control in self.controls:
+            if isinstance(control, RotationMatchesXY):
+                j0 = cam_row[id(control.cams[0])]
+                j1 = cam_row[id(control.cams[1])]
+                xy0 = jnp.asarray(control.xys[0])
+                xy1 = jnp.asarray(control.xys[1])
+
+                def term(vs, j0=j0, j1=j1, xy0=xy0, xy1=xy1):
+                    rays = proj.camera_to_world(
+                        xy1, proj.rotation_matrix(vs[j1][3:6], jnp),
+                        directions=True, xp=jnp,
+                    )
+                    pred = proj.world_to_camera(
+                        rays, vs[j0][0:3],
+                        proj.rotation_matrix(vs[j0][3:6], jnp),
+                        directions=True, xp=jnp,
+                    )
+                    return pred - xy0
+
+            elif isinstance(control, RotationMatches):
+                j0 = cam_row[id(control.cams[0])]
+                j1 = cam_row[id(control.cams[1])]
+                uv0 = jnp.asarray(control.uvs[0])
+                xy1 = jnp.asarray(control.xys[1])
+
+                def term(vs, j0=j0, j1=j1, uv0=uv0, xy1=xy1):
+                    rays = proj.camera_to_world(
+                        xy1, proj.rotation_matrix(vs[j1][3:6], jnp),
+                        directions=True, xp=jnp,
+                    )
+                    pred = proj.project(
+                        vs[j0], rays, directions=True, xp=jnp
+                    )
+                    return pred - uv0
+
+            elif isinstance(control, Matches):
+                j0 = cam_row[id(control.cams[0])]
+                j1 = cam_row[id(control.cams[1])]
+                uv0 = jnp.asarray(control.uvs[0])
+                uv1 = jnp.asarray(control.uvs[1])
+
+                def term(vs, j0=j0, j1=j1, uv0=uv0, uv1=uv1):
+                    rays = proj.unproject(
+                        vs[j1], uv1, directions=True, xp=jnp
+                    )
+                    pred = proj.project(
+                        vs[j0], rays, directions=True, xp=jnp
+                    )
+                    return pred - uv0
+
+            else:  # Points (absolute or directions)
+                j = cam_row[id(control.cam)]
+                xyz = jnp.asarray(control.xyz)
+                uv = jnp.asarray(control.uv)
+                directions = control.directions
+                corr = None if directions else control.cam._correction_tuple
+
+                def term(vs, j=j, xyz=xyz, uv=uv, directions=directions,
+                         corr=corr):
+                    pred = proj.project(
+                        vs[j], xyz, directions=directions, correction=corr,
+                        xp=jnp,
+                    )
+                    return pred - uv
+
+            terms.append(term)
+
+        weight_arr = (
+            None if self.weights is None else jnp.asarray(self.weights)
+        )
+
+        def residual_array(params, base):
+            vs = base
+            for j, pos, span in writes:
+                vs = vs.at[j, pos].set(params[span])
+            r = jnp.concatenate([t(vs) for t in terms], axis=0)
+            if weight_arr is not None:
+                r = r * weight_arr
+            # Behind-camera NaNs contribute zero residual AND zero gradient
+            # (the host fun applies the same nan_to_num).
+            return jnp.where(jnp.isnan(r), 0.0, r)
+
+        return residual_array
+
+    def _autodiff_jac(self, index: Index = slice(None)):
+        """scipy-compatible callable returning the exact (m, n) Jacobian.
+
+        The jacfwd program takes the fit-start camera vectors and the row
+        subset as ARGUMENTS, so one compile is reused across repeated fits
+        — RANSAC draws hundreds of same-size subsets and pays the compile
+        once. The cache invalidates when the controls change shape.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        rows = np.arange(self.size)[index]
+        full = rows.size == self.size and np.array_equal(
+            rows, np.arange(self.size)
+        )
+        token = (len(self.cams), tuple(c.size for c in self.controls))
+        cache = getattr(self, "_jac_cache", None)
+        if cache is None or cache["token"] != token:
+            cache = self._jac_cache = {"token": token, "fns": {}}
+        key = "full" if full else int(rows.size)
+        if key not in cache["fns"]:
+            residual_array = self._build_autodiff_residual()
+
+            if full:
+                def flat(params, base):
+                    return residual_array(params, base).ravel()
+            else:
+                def flat(params, base, subset):
+                    return residual_array(params, base)[subset].ravel()
+
+            cache["fns"][key] = jax.jit(jax.jacfwd(flat))
+        jac_fn = cache["fns"][key]
+
+        def jac(x, *args):
+            # Residuals restore the live camera vectors after every call,
+            # so to_array() here is the fit-start (non-free) state.
+            base = jnp.asarray(
+                np.stack([cam.to_array() for cam in self.cams]),
+                dtype=jnp.float32,
+            )
+            x32 = jnp.asarray(x, dtype=jnp.float32)
+            if full:
+                return np.asarray(jac_fn(x32, base))
+            return np.asarray(jac_fn(x32, base, rows))
+
+        return jac
+
     # -- camera parameter application -- #
 
     def set_cameras(self, params, save: bool = False) -> None:
@@ -967,15 +1143,21 @@ class Cameras:
         full: bool = False,
         method: str = "least_squares",
         verbose: bool = False,
+        jac: str = "auto",
         **kwargs: Any,
     ):
         """Optimal parameter vector minimizing the reprojection residuals.
 
         Direct ``scipy.optimize.least_squares`` driver (Trust Region
-        Reflective with bounds) using the per-parameter scales as ``x_scale``
-        and the block structure as ``jac_sparsity``. ``cam_params``/
-        ``group_params`` run staged pre-fits like the reference
-        (optimize.py:1781-1878).
+        Reflective with bounds) using the per-parameter scales as ``x_scale``.
+        ``jac`` selects the Jacobian source: ``'exact'`` evaluates exact
+        derivatives of the full residual stack with ``jax.jacfwd`` over the
+        pure projection ops (one jitted program; replaces the reference's
+        finite differences + hand sparsity, optimize.py:1781-1878);
+        ``'2-point'`` keeps the reference's finite-difference path with the
+        block sparsity structure; ``'auto'`` (default) uses exact whenever
+        every control supports tracing (``Lines`` does not). ``cam_params``/
+        ``group_params`` run staged pre-fits like the reference.
         """
         iterations = max(
             len(cam_params) if cam_params else 0,
@@ -991,14 +1173,17 @@ class Cameras:
                         group_params[n] if group_params else self.group_params
                     ),
                 )
-                values = model.fit(index=index, method=method, **kwargs)
+                values = model.fit(index=index, method=method, jac=jac, **kwargs)
                 if values is not None:
                     model.set_cameras(params=values)
             self.update_params()
         options = dict(kwargs)
         if self.scales is not None and len(self.scales):
             options.setdefault("x_scale", self.scales)
-        if self.sparsity is not None:
+        exact = jac == "exact" or (jac == "auto" and self._autodiff_supported())
+        if exact:
+            options.setdefault("jac", self._autodiff_jac(index))
+        elif self.sparsity is not None:
             if isinstance(index, slice) and index == slice(None):
                 options.setdefault("jac_sparsity", self.sparsity)
             else:
