@@ -122,11 +122,18 @@ class SceneRenderer:
 
 
 def stabilize(renderer, true_viewdirs, workdir: str):
-    """Render JPEGs, run SIFT + matching + ObserverCameras; return viewdirs."""
+    """Render JPEGs, run SIFT + matching + ObserverCameras; return viewdirs.
+
+    Round-3 bottleneck fixes (VERDICT item 4): SIFT detection fans out over
+    host threads (cv2 releases the GIL), and per-pair FLANN is replaced by
+    the device-batched MXU matcher (``matcher='device'``).
+    """
     import PIL.Image
 
     from glimpse_tpu import Image, optimize
 
+    timings = {}
+    t_start = time.perf_counter()
     t0 = datetime.datetime(2020, 1, 1)
     hour = datetime.timedelta(hours=1)
     images = []
@@ -141,6 +148,7 @@ def stabilize(renderer, true_viewdirs, workdir: str):
             datetime=t0 + i * hour,
         )
         images.append(img)
+    timings["render_s"] = round(time.perf_counter() - t_start, 1)
 
     class _Seq:
         def __init__(self, images):
@@ -148,13 +156,23 @@ def stabilize(renderer, true_viewdirs, workdir: str):
 
     model = optimize.ObserverCameras(_Seq(images), anchors=[0])
     mask = renderer.terrain_mask()
+    t_det = time.perf_counter()
     model.build_keypoints(
-        masks=[mask] * len(images), contrastThreshold=0.02, clear_images=True
+        masks=[mask] * len(images), contrastThreshold=0.02, clear_images=True,
+        parallel=True,
     )
-    model.build_matches(seq=(1, 8, 64), max_ratio=0.75, max_distance=20.0)
+    timings["detect_s"] = round(time.perf_counter() - t_det, 1)
+    t_match = time.perf_counter()
+    model.build_matches(
+        seq=(1, 8, 64), max_ratio=0.75, max_distance=20.0,
+        matcher=os.environ.get("PIPELINE_MATCHER", "device"),
+    )
+    timings["match_s"] = round(time.perf_counter() - t_match, 1)
     n_pairs = int(sum(m.size for m in model.matches.data))
+    t_fit = time.perf_counter()
     result = model.fit()
-    return result.x.reshape(-1, 3), n_pairs
+    timings["fit_s"] = round(time.perf_counter() - t_fit, 1)
+    return result.x.reshape(-1, 3), n_pairs, timings
 
 
 def main() -> None:
@@ -182,7 +200,7 @@ def main() -> None:
     # ---- Stage 1+2: render + stabilize (host, SIFT) ----
     t_stab = time.perf_counter()
     workdir = tempfile.mkdtemp(prefix="columbia_pipeline_")
-    recovered, n_pairs = stabilize(renderer, true_viewdirs, workdir)
+    recovered, n_pairs, stab_timings = stabilize(renderer, true_viewdirs, workdir)
     stab_seconds = time.perf_counter() - t_stab
     # Rotation-angle error is the parameterization-independent metric.
     from glimpse_tpu.ops import projection as proj
@@ -249,6 +267,7 @@ def main() -> None:
                           "(SIFT stabilization + streamed batched PF)",
                 "stabilization_pairs": n_pairs,
                 "stabilization_seconds": round(stab_seconds, 1),
+                "stabilization_stages": stab_timings,
                 "rotation_max_err_deg": round(float(rot_err_deg.max()), 4),
                 "rotation_mean_err_deg": round(float(rot_err_deg.mean()), 4),
                 "rmse_unstabilized_px": round(rmse(final_raw), 3),

@@ -30,11 +30,12 @@ import numpy as np
 class _DrivenCartesianMotion:
     """CartesianMotion consuming pre-generated standard-normal draws."""
 
-    def __init__(self, base, init_xy, init_v, accel):
+    def __init__(self, base, init_xy, init_v, accel, init_z=None):
         self._base = base
         self._init_xy = init_xy  # (P, 2)
         self._init_v = init_v  # (P, 3)
         self._accel = accel  # (T-1, P, 3)
+        self._init_z = init_z  # (P,) or None
         self._step = 0
 
     def __getattr__(self, name):
@@ -45,6 +46,10 @@ class _DrivenCartesianMotion:
         particles = np.zeros((m.n, 6), dtype=float)
         particles[:, 0:2] = m.xy + np.asarray(m.xy_sigma) * self._init_xy
         particles[:, 2] = m.dem.sample(particles[:, 0:2])
+        if m.dem_sigma is not None and self._init_z is not None:
+            particles[:, 2] += (
+                m.dem_sigma.sample(particles[:, 0:2]) * self._init_z
+            )
         particles[:, 3:6] = m.vxyz + np.asarray(m.vxyz_sigma) * self._init_v
         return particles
 
@@ -60,8 +65,17 @@ class _DrivenCartesianMotion:
         return self._base.compute_log_likelihoods(particles)
 
 
-def run_lockstep(n_points=50, n_particles=500, n_frames=20, x64=False) -> dict:
-    """Run the lockstep comparison; returns the result dict."""
+def run_lockstep(
+    n_points=50, n_particles=500, n_frames=20, x64=False, dem_sigma=None
+) -> dict:
+    """Run the lockstep comparison; returns the result dict.
+
+    ``dem_sigma``: when set (BASELINE ladder config 4 — 3-D PF with DEM
+    uncertainty), particles draw initial heights from the DEM +- sigma,
+    evolve in z, and are weighted by the DEM-distance prior in BOTH
+    implementations, exercising ``BatchMotion.log_likelihoods`` against the
+    host ``CartesianMotion.compute_log_likelihoods`` at scale.
+    """
     import scipy.ndimage
 
     import jax
@@ -76,7 +90,7 @@ def run_lockstep(n_points=50, n_particles=500, n_frames=20, x64=False) -> dict:
         BatchTracker,
         DeviceRaster,
     )
-    imgsz = 384
+    imgsz = int(os.environ.get("LOCKSTEP_IMGSZ", 384))
     velocity = (1.2, -0.7)
     prior_v = (1.0, -0.5)  # coarse velocity prior, deliberately offset
 
@@ -93,11 +107,32 @@ def run_lockstep(n_points=50, n_particles=500, n_frames=20, x64=False) -> dict:
         ]
     ).astype(np.float32)
 
+    # The host Tracker observes RASTER frames through a pure world-grid
+    # mapping that ignores z; the device tracker projects through a real
+    # camera. With z=0 particles an f=h nadir camera reproduces the grid
+    # mapping exactly; with DEM-sigma z spread (ladder 4) the perspective
+    # z-dependence would differ from the raster mapping by construction, so
+    # the camera moves to the telecentric limit (h = f = 1000 imgsz, z/h ~
+    # 5e-6) where both mappings agree to < 1e-2 px and the comparison again
+    # measures the implementations, not the harness geometry.
+    cam_h = imgsz * (1000 if dem_sigma else 1)
     cam = Camera(
-        imgsz=imgsz, f=imgsz, xyz=(imgsz / 2, imgsz / 2, imgsz), viewdir=(0, -90, 0)
+        imgsz=imgsz, f=cam_h, xyz=(imgsz / 2, imgsz / 2, cam_h),
+        viewdir=(0, -90, 0),
     )
     cx, cy = cam.xyz[0], cam.xyz[1]
-    starts = rng.uniform(80, imgsz - 80, size=(n_points, 2))
+    # Start box shrunk by the total drift so no point (or its search box)
+    # leaves the frame over the run — the host tracker would skip those
+    # images, breaking the step-for-step comparison.
+    drift = np.asarray(velocity) * (n_frames - 1)
+    lo = 80 + np.maximum(-drift, 0)
+    hi = imgsz - 80 - np.maximum(drift, 0)
+    if np.any(hi <= lo):
+        raise ValueError(
+            f"LOCKSTEP_IMGSZ={imgsz} too small for {n_frames} frames of "
+            f"drift {drift}; increase LOCKSTEP_IMGSZ"
+        )
+    starts = rng.uniform(lo, hi, size=(n_points, 2))
 
     # ---- Shared random draws ----
     noise_rng = np.random.default_rng(77)
@@ -105,6 +140,13 @@ def run_lockstep(n_points=50, n_particles=500, n_frames=20, x64=False) -> dict:
     init_v = noise_rng.standard_normal((n_points, n_particles, 3))
     accel = noise_rng.standard_normal((n_frames - 1, n_points, n_particles, 3))
     resample_u = noise_rng.random((n_frames - 1, n_points))
+    init_z = (
+        noise_rng.standard_normal((n_points, n_particles))
+        if dem_sigma
+        else None
+    )
+    vz_sigma = 0.2 if dem_sigma else 0.0
+    az_sigma = 0.05 if dem_sigma else 0.0
 
     t0 = datetime.datetime(2020, 1, 1)
     day = datetime.timedelta(days=1)
@@ -126,13 +168,15 @@ def run_lockstep(n_points=50, n_particles=500, n_frames=20, x64=False) -> dict:
     for i in range(n_points):
         motion = _DrivenCartesianMotion(
             CartesianMotion(
-                xy=tuple(starts[i]), time_unit=day, dem=0.0, dem_sigma=None,
+                xy=tuple(starts[i]), time_unit=day, dem=0.0,
+                dem_sigma=dem_sigma if dem_sigma else None,
                 n=n_particles, xy_sigma=(xy_sigma, xy_sigma),
                 vxyz=(prior_v[0], prior_v[1], 0),
-                vxyz_sigma=(v_sigma, v_sigma, 0),
-                axyz_sigma=(a_sigma, a_sigma, 0),
+                vxyz_sigma=(v_sigma, v_sigma, vz_sigma),
+                axyz_sigma=(a_sigma, a_sigma, az_sigma),
             ),
             init_xy[i], init_v[i], accel[:, i],
+            init_z=None if init_z is None else init_z[i],
         )
         worker = copy.copy(host)
         worker.reset()
@@ -160,13 +204,13 @@ def run_lockstep(n_points=50, n_particles=500, n_frames=20, x64=False) -> dict:
         xy=jnp.asarray(starts, dtype),
         xy_sigma=jnp.full((n_points, 2), xy_sigma, dtype),
         v_mean=jnp.tile(jnp.asarray([*prior_v, 0.0], dtype), (n_points, 1)),
-        v_sigma=jnp.full((n_points, 3), v_sigma, dtype).at[:, 2].set(0.0),
+        v_sigma=jnp.full((n_points, 3), v_sigma, dtype).at[:, 2].set(vz_sigma),
         a_mean=jnp.zeros((n_points, 3), dtype),
-        a_sigma=jnp.full((n_points, 3), a_sigma, dtype).at[:, 2].set(0.0),
+        a_sigma=jnp.full((n_points, 3), a_sigma, dtype).at[:, 2].set(az_sigma),
         slope_sigma=jnp.zeros((n_points,), dtype),
         dem=DeviceRaster.constant(0.0),
-        dem_sigma=DeviceRaster.constant(0.0),
-        use_dem_sigma=False,
+        dem_sigma=DeviceRaster.constant(dem_sigma if dem_sigma else 0.0),
+        use_dem_sigma=bool(dem_sigma),
     )
     cfg = BatchConfig(
         n_particles=n_particles, template_size=(15, 15), search_size=(41, 41),
@@ -183,6 +227,11 @@ def run_lockstep(n_points=50, n_particles=500, n_frames=20, x64=False) -> dict:
             "init": {
                 "xy": jnp.asarray(init_xy, dtype),
                 "v": jnp.asarray(init_v, dtype),
+                **(
+                    {"z": jnp.asarray(init_z, dtype)}
+                    if init_z is not None
+                    else {}
+                ),
             },
             "a": jnp.asarray(accel, dtype),
             "resample_u": jnp.asarray(resample_u, dtype),
@@ -198,7 +247,9 @@ def run_lockstep(n_points=50, n_particles=500, n_frames=20, x64=False) -> dict:
     err_batch = np.linalg.norm(batch_means - truth, axis=-1)
     return {
         "config": f"{n_points} points x {n_particles} particles x "
-                  f"{n_frames} frames (lockstep noise)",
+                  f"{n_frames} frames (lockstep noise"
+                  + (f", dem_sigma={dem_sigma}" if dem_sigma else "")
+                  + ")",
         "dtype": "float64" if x64 else "float32",
         "rmse_device_vs_host_px": round(float(np.sqrt((diff ** 2).mean())), 4),
         "max_device_vs_host_px": round(float(diff.max()), 4),
@@ -219,6 +270,8 @@ def main() -> None:
                 n_particles=int(os.environ.get("LOCKSTEP_PARTICLES", 500)),
                 n_frames=int(os.environ.get("LOCKSTEP_FRAMES", 20)),
                 x64=bool(os.environ.get("LOCKSTEP_X64")),
+                dem_sigma=float(os.environ.get("LOCKSTEP_DEM_SIGMA", 0))
+                or None,
             )
         )
     )

@@ -1444,6 +1444,77 @@ def detect_keypoints(array, mask=None, method=None, root: bool = False, **kwargs
     return keypoints, descriptors
 
 
+def match_keypoints_device(
+    ka,
+    kb,
+    cross_check: bool = False,
+    max_ratio: float = None,
+    max_distance: float = None,
+    return_ratios: bool = False,
+    matcher=None,
+):
+    """Device-batched descriptor matching (same contract as match_keypoints).
+
+    One (n_a, 128) @ (128, n_b) MXU matmul + top-2 per pair replaces the
+    host FLANN KD-tree (SURVEY.md section 2.3); padding makes one compiled
+    program serve every pair of a sequence.
+    """
+    from .ops import matching as matching_ops
+
+    if matcher is None or isinstance(matcher, str):
+        matcher = _shared_device_matcher()
+
+    def empty():
+        e = np.array([], dtype=float).reshape(0, 2)
+        if return_ratios:
+            return e, e.copy(), np.array([], dtype=float)
+        return e, e.copy()
+
+    pairs, ratios = matcher.match(
+        ka[1], kb[1], max_ratio=max_ratio, cross_check=cross_check
+    )
+    if not len(pairs):
+        return empty()
+    uva = _keypoint_pts(ka[0])[pairs[:, 0]]
+    uvb = _keypoint_pts(kb[0])[pairs[:, 1]]
+    if max_distance:
+        valid = np.linalg.norm(uva - uvb, axis=1) < max_distance
+        uva, uvb, ratios = uva[valid], uvb[valid], ratios[valid]
+    if return_ratios:
+        return uva, uvb, ratios
+    return uva, uvb
+
+
+_KEYPOINT_PTS_CACHE: Dict[int, tuple] = {}
+
+
+def _keypoint_pts(keypoints) -> np.ndarray:
+    """(n, 2) coordinate array for a cv2.KeyPoint list, identity-cached
+    (each image's keypoints are reused across all its sequence pairs)."""
+    key = id(keypoints)
+    hit = _KEYPOINT_PTS_CACHE.get(key)
+    if hit is not None and hit[0] is keypoints:
+        return hit[1]
+    if len(_KEYPOINT_PTS_CACHE) > 256:
+        _KEYPOINT_PTS_CACHE.clear()
+    pts = np.array([k.pt for k in keypoints], dtype=float).reshape(-1, 2)
+    _KEYPOINT_PTS_CACHE[key] = (keypoints, pts)
+    return pts
+
+
+_DEVICE_MATCHER = None
+
+
+def _shared_device_matcher():
+    """Process-wide DescriptorMatcher so jit compilations are reused."""
+    global _DEVICE_MATCHER
+    if _DEVICE_MATCHER is None:
+        from .ops.matching import DescriptorMatcher
+
+        _DEVICE_MATCHER = DescriptorMatcher()
+    return _DEVICE_MATCHER
+
+
 def match_keypoints(
     ka,
     kb,
@@ -1456,8 +1527,18 @@ def match_keypoints(
 ):
     """Match keypoint descriptors (FLANN kNN with Lowe ratio and cross check).
 
-    Returns matched coordinates (n, 2) in each image (+ ratios if requested).
+    ``matcher='device'`` routes to :func:`match_keypoints_device` (batched
+    MXU matmul matching); any cv2 matcher object is used directly; None
+    builds a FLANN matcher.
     """
+    if matcher == "device" or (
+        matcher is not None and not hasattr(matcher, "knnMatch")
+    ):
+        return match_keypoints_device(
+            ka, kb, cross_check=cross_check, max_ratio=max_ratio,
+            max_distance=max_distance, return_ratios=return_ratios,
+            matcher=matcher if not isinstance(matcher, str) else None,
+        )
     if cv2 is None:
         raise ImportError("OpenCV is required for keypoint matching")
     if matcher is None:

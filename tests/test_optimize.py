@@ -471,3 +471,31 @@ def test_exact_jacobian_converges_with_fewer_evaluations() -> None:
     # FD spends host residual evaluations on derivative probing; the exact
     # path spends them only on accepted/rejected steps.
     assert n_fd["n"] >= 5 * n_exact["n"], (n_fd["n"], n_exact["n"])
+
+
+def test_device_matcher_agrees_with_bruteforce() -> None:
+    """Device (MXU matmul) matching reproduces exact L2 kNN matching on real
+    SIFT descriptors: same matches as cv2.BFMatcher under ratio+cross-check."""
+    cv2 = pytest.importorskip("cv2")
+    import scipy.ndimage
+
+    arr = np.asarray(Image(PATH).read())
+    if arr.ndim == 3:
+        arr = arr.mean(axis=2)
+    shifted = scipy.ndimage.shift(arr, (2.0, -3.0), order=1, mode="nearest")
+    ka = optimize.detect_keypoints(arr)
+    kb = optimize.detect_keypoints(shifted)
+    uva_bf, uvb_bf = optimize.match_keypoints(
+        ka, kb, matcher=cv2.BFMatcher(cv2.NORM_L2), max_ratio=0.75,
+        cross_check=True, max_distance=20.0,
+    )
+    uva_dev, uvb_dev = optimize.match_keypoints(
+        ka, kb, matcher="device", max_ratio=0.75, cross_check=True,
+        max_distance=20.0,
+    )
+    set_bf = {tuple(np.round(r, 3)) for r in np.hstack([uva_bf, uvb_bf])}
+    set_dev = {tuple(np.round(r, 3)) for r in np.hstack([uva_dev, uvb_dev])}
+    # Identical up to float32-distance ties (allow a sliver of slack).
+    overlap = len(set_bf & set_dev) / max(len(set_bf | set_dev), 1)
+    assert overlap > 0.99, (len(set_bf), len(set_dev), overlap)
+    assert len(uva_dev) > 100

@@ -85,3 +85,68 @@ def test_two_process_distributed_tracking(tmp_path):
     total1 = np.load(tmp_path / "total_1.npy")
     np.testing.assert_allclose(total0, total1)
     np.testing.assert_allclose(total0, full.sum(axis=(0, 1)), rtol=1e-5)
+
+
+def test_sharded_step_has_no_collectives() -> None:
+    """The compiled sharded tracking step contains no cross-device
+    collectives: every per-point array shards over the points axis and all
+    math is pointwise over points, so scaling is communication-free (the
+    actual content of README's linear-scaling claim)."""
+    import re
+
+    import numpy as np
+
+    from glimpse_tpu import Camera
+    from glimpse_tpu.track.batch import (
+        BatchConfig, BatchMotion, BatchTracker, DeviceRaster,
+    )
+
+    mesh = parallel.get_mesh()
+    n = 16 * mesh.devices.size
+    rng = np.random.default_rng(0)
+    cam = Camera(imgsz=128, f=128, xyz=(64, 64, 128), viewdir=(0, -90, 0))
+    motion = BatchMotion(
+        kind="cartesian",
+        xy=rng.uniform(40, 90, size=(n, 2)).astype(np.float32),
+        xy_sigma=np.full((n, 2), 1.0, np.float32),
+        v_mean=np.zeros((n, 3), np.float32),
+        v_sigma=np.full((n, 3), 1.0, np.float32),
+        a_mean=np.zeros((n, 3), np.float32),
+        a_sigma=np.full((n, 3), 0.1, np.float32),
+        slope_sigma=np.zeros((n,), np.float32),
+        dem=DeviceRaster.constant(0.0),
+        dem_sigma=DeviceRaster.constant(0.0),
+        use_dem_sigma=False,
+    )
+    cfg = BatchConfig(
+        n_particles=64, template_size=(7, 7), search_size=(15, 15),
+        # The XLA paths are what production TPU meshes run under shard_map
+        # anyway; on the CPU mesh the Pallas interpreter would obscure the
+        # HLO. Collectives would appear identically in either case.
+        highpass_mode="xla", resample_mode="xla",
+    )
+    tracker = BatchTracker(
+        camera_vectors=cam.to_array()[None], corrections=[None], sigmas=[0.3],
+        motion=motion, config=cfg, mesh=mesh,
+    )
+    frame = jnp.zeros((1, 128, 128), jnp.float32)
+    state = tracker.initialize(jax.random.PRNGKey(0), frame)
+    motion_dev = tracker._device_motion()
+    cams_dev = tracker._device_cams()
+
+    def step(state, frame, dt, motion, cams):
+        new_state, out = tracker.step(
+            state, frame, dt, camera_vectors=cams, motion=motion
+        )
+        return new_state, out
+
+    lowered = jax.jit(step).lower(
+        state, frame, jnp.float32(1.0), motion_dev, cams_dev
+    )
+    hlo = lowered.compile().as_text()
+    found = re.findall(
+        r"\b(all-reduce|all-gather|reduce-scatter|collective-permute"
+        r"|all-to-all)\b",
+        hlo,
+    )
+    assert not found, f"collectives in sharded step: {set(found)}"
