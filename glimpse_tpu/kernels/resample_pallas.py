@@ -11,35 +11,43 @@ are just as slow — measured in round 2).
 
 This kernel never touches the gather engine. Per point, the
 cumulative-weight row and the K payload columns live in VMEM (regular
-block pipelining = full-bandwidth DMA), and both the search and the
-selection are fused compare-multiply-reduce sweeps on the VPU:
+block pipelining = full-bandwidth DMA). Shared machinery:
 
 - systematic positions are folded into the table once on the XLA side:
   ``t_i = P * cum_i - u`` so that ``idx[j] = #{i : t_i < j}`` (integer
   thresholds, no per-chunk position vector);
-- for each C-wide output chunk, coarse scalar counts ``s = #{t < j0}``
+- for each C-wide output chunk, batched coarse counts ``s = #{t < j0}``
   and ``e = #{t < j0+C-1}`` bracket the source rows the chunk can touch;
 - W-wide windows of ``t`` starting at the lane-aligned base below s are
-  compare-counted against the chunk's j's to finish the searchsorted
-  (round r covers source rows ``[b0+rW, b0+(r+1)W)`` exactly once —
-  data-dependent trip count, usually one round: spans are ~C for
-  near-uniform weights, ~0 for degenerate ones);
-- the same windows of each payload column are one-hot mask-reduced to
-  materialize the resampled rows — a sum with exactly one nonzero term,
-  so the copy is bit-exact in any dtype.
+  swept against the chunk's j's (round r covers source rows
+  ``[b0+rW, b0+(r+1)W)`` exactly once — data-dependent trip count,
+  usually one round: spans are ~C for near-uniform weights).
 
-Mosaic constraints shape the layout:
-- block shapes divisible by (8, 128): the grid advances 8 points per step
-  while each (P, 128)-wide TRANSPOSED output block is revisited for 16
-  consecutive steps (revisited blocks stay resident in VMEM — one DMA per
-  128 points); the wrapper transposes outputs back and P is padded to a
-  multiple of 128;
-- dynamic lane-slice starts must be provably 128-aligned: window starts
-  are computed in 128-block units and multiplied back;
-- dynamic-lane vector stores don't lower: result columns are accumulated
-  into the output block through a one-hot lane mask (full-row store).
-(A (N, P, K)-blocked formulation would lane-pad K=7 to 128 — an 18x HBM
-blowup, observed as a 21 GB OOM.)
+Three layouts, in increasing measured speed at 10,240 x 2,048 (ms/step
+of the full PF update, one v5e chip):
+
+- ``lanes`` (227 ms): count-then-match. Windows are compare-COUNTED to
+  finish the searchsorted, then an equality hit mask one-hot-reduces each
+  payload column; results accumulate into (P, 128) transposed output
+  blocks through a one-hot lane mask (dynamic-lane stores don't lower),
+  revisited for 16 grid steps and transposed back by the wrapper.
+- ``direct`` (199 ms): the count phase is GONE. Sorted thresholds mean
+  ``idx[j] = i  <=>  t[i-1] < j <= t[i]``, so with a pre-shifted
+  threshold row (``tm1``) built on the XLA side the source of every
+  output is identified by two compares — no count sweep, no scalar
+  ``cnt``/``rel`` chain, one control structure per chunk instead of two.
+- ``mxu_rows`` (149 ms, production default): direct hits + all K channel
+  selections in ONE matmul per round, ``cols (K, W) @ hit^T (W, C) ->
+  (K, C)`` on the MXU (HIGHEST precision — exact: one nonzero per row,
+  and the bf16x3 split carries all 24 f32 mantissa bits; verified
+  bit-equal to the VPU path on hardware). The (K, C) result stores as K
+  static row slices into this grid step's OWN (8, P) output block: no
+  lane-hot read-modify-write, no block revisiting, no output transpose.
+
+Shared Mosaic constraints: block shapes divisible by (8, 128); dynamic
+lane-slice starts provably 128-aligned (window starts are computed in
+128-block units and multiplied back). A (N, P, K)-blocked formulation
+would lane-pad K=7 to 128 — an 18x HBM blowup, observed as a 21 GB OOM.
 """
 import functools
 
@@ -53,11 +61,11 @@ _G_OUT = 128  # points per output block (lane width)
 _C = 128  # output-chunk height (P is padded to a multiple of this)
 
 
-def _kernel(P: int, P_real: int, W: int, K: int, t_ref, *refs):
+def _kernel(P: int, P_real: int, W: int, K: int, C: int, t_ref, *refs):
     col_refs = refs[:K]
     out_refs = refs[K : K + K]
     s_scr, e_scr = refs[K + K], refs[K + K + 1]
-    nch = P // _C
+    nch = P // C
     iota_w = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
     steps_per_block = _G_OUT // _G_IN
     j = pl.program_id(0) % steps_per_block
@@ -74,7 +82,7 @@ def _kernel(P: int, P_real: int, W: int, K: int, t_ref, *refs):
     # reductions inside each chunk's loop body (the per-chunk scalar
     # sections, not the vector sweeps, dominate kernel time; measured
     # 170 -> 123 ms at 10,240 x 2,048).
-    thr = _C * jax.lax.broadcasted_iota(jnp.int32, (nch, 1), 0)
+    thr = C * jax.lax.broadcasted_iota(jnp.int32, (nch, 1), 0)
     for g in range(_G_IN):
         trow = t_ref[g : g + 1, :]
         thr_f = thr.astype(trow.dtype)
@@ -82,7 +90,7 @@ def _kernel(P: int, P_real: int, W: int, K: int, t_ref, *refs):
             (trow < thr_f).astype(jnp.int32), axis=1, keepdims=True
         )
         e_scr[g * nch : (g + 1) * nch, 0:1] = jnp.sum(
-            (trow < thr_f + (_C - 1)).astype(jnp.int32),
+            (trow < thr_f + (C - 1)).astype(jnp.int32),
             axis=1,
             keepdims=True,
         )
@@ -92,8 +100,8 @@ def _kernel(P: int, P_real: int, W: int, K: int, t_ref, *refs):
     wblk = W // 128
     for g in range(_G_IN):
         lane_hot = (out_lanes == lane0 + g).astype(col_refs[0].dtype)
-        for ci, c0 in enumerate(range(0, P, _C)):
-            jg = c0 + jax.lax.broadcasted_iota(jnp.int32, (_C, 1), 0)
+        for ci, c0 in enumerate(range(0, P, C)):
+            jg = c0 + jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)
             s = s_scr[g * nch + ci, 0]
             e = e_scr[g * nch + ci, 0]
             # Lane-aligned window base (Mosaic: dynamic lane starts must
@@ -111,7 +119,7 @@ def _kernel(P: int, P_real: int, W: int, K: int, t_ref, *refs):
                 valid = (
                     (gidx >= jnp.maximum(s, b0 + r * W)) & (gidx < e)
                 )
-                hit = (win < jg_f) & valid  # (_C, W)
+                hit = (win < jg_f) & valid  # (C, W)
                 return cnt + jnp.sum(
                     hit.astype(jnp.int32), axis=1, keepdims=True
                 )
@@ -122,7 +130,7 @@ def _kernel(P: int, P_real: int, W: int, K: int, t_ref, *refs):
             # almost always suffices and the while-loop overhead is paid
             # only when needed.
             n_rounds = (e - b0) // W + 1
-            cnt = jnp.full((_C, 1), 1, jnp.int32) * s
+            cnt = jnp.full((C, 1), 1, jnp.int32) * s
             cnt = count_round(0, cnt)
             cnt = jax.lax.cond(
                 n_rounds > 1,
@@ -131,24 +139,24 @@ def _kernel(P: int, P_real: int, W: int, K: int, t_ref, *refs):
                 cnt,
             )
             cnt = jnp.minimum(cnt, P_real - 1)  # resampler clip semantics
-            rel = cnt - b0  # (_C, 1), in [0, e - b0]
+            rel = cnt - b0  # (C, 1), in [0, e - b0]
 
             def select_round(r, accs):
                 sr = jnp.minimum(b0_blk + r * wblk, last_blk) * 128
                 rw = cnt - sr
                 in_round = (rel >= r * W) & (rel < (r + 1) * W)
-                hit = (rw == iota_w) & in_round  # (_C, W): <=1 hot per row
+                hit = (rw == iota_w) & in_round  # (C, W): <=1 hot per row
                 out = []
                 for k in range(K):
                     win = col_refs[k][g : g + 1, pl.ds(sr, W)]  # (1, W)
                     sel = jnp.sum(
                         hit.astype(win.dtype) * win, axis=1, keepdims=True
-                    )  # (_C, 1) — exact: a sum with one nonzero term
+                    )  # (C, 1) — exact: a sum with one nonzero term
                     out.append(accs[k] + sel)
                 return tuple(out)
 
             accs = tuple(
-                jnp.zeros((_C, 1), col_refs[k].dtype) for k in range(K)
+                jnp.zeros((C, 1), col_refs[k].dtype) for k in range(K)
             )
             accs = select_round(0, accs)
             accs = jax.lax.cond(
@@ -160,14 +168,202 @@ def _kernel(P: int, P_real: int, W: int, K: int, t_ref, *refs):
             # Dynamic-lane stores don't lower; place the column through a
             # one-hot lane mask instead (the block was zero-initialized).
             for k in range(K):
-                out_refs[k][c0 : c0 + _C, :] += accs[k] * lane_hot
+                out_refs[k][c0 : c0 + C, :] += accs[k] * lane_hot
+
+
+def _kernel_direct(P: int, P_real: int, W: int, K: int, C: int,
+                   t_ref, tm1_ref, *refs):
+    """Direct-hit variant: the count phase is gone.
+
+    Because the thresholds are sorted, ``idx[j] = i`` iff
+    ``t[i-1] < j <= t[i]`` — so with a pre-shifted threshold row
+    (``tm1[i] = t[i-1]``) each output's source is identified by TWO
+    compares instead of a count-then-match pair of window loops. Per
+    (chunk, round) this removes the count compare-reduce, the scalar
+    ``cnt``/``rel`` dependency chain, and one fori_loop+cond control
+    structure — the per-chunk scalar sections are what dominate kernel
+    time at production shapes. The clip ``idx = min(idx, P_real-1)``
+    becomes a disjunct on the last real source row.
+    """
+    col_refs = refs[:K]
+    out_refs = refs[K : K + K]
+    s_scr, e_scr = refs[K + K], refs[K + K + 1]
+    nch = P // C
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+    steps_per_block = _G_OUT // _G_IN
+    j = pl.program_id(0) % steps_per_block
+    lane0 = j * _G_IN
+
+    @pl.when(j == 0)
+    def _init():
+        for k in range(K):
+            out_refs[k][...] = jnp.zeros_like(out_refs[k])
+
+    # Batched coarse brackets (same as _kernel): start bound for the
+    # window base, end bound for the round count.
+    thr = C * jax.lax.broadcasted_iota(jnp.int32, (nch, 1), 0)
+    for g in range(_G_IN):
+        trow = t_ref[g : g + 1, :]
+        thr_f = thr.astype(trow.dtype)
+        s_scr[g * nch : (g + 1) * nch, 0:1] = jnp.sum(
+            (trow < thr_f).astype(jnp.int32), axis=1, keepdims=True
+        )
+        e_scr[g * nch : (g + 1) * nch, 0:1] = jnp.sum(
+            (trow < thr_f + (C - 1)).astype(jnp.int32),
+            axis=1,
+            keepdims=True,
+        )
+
+    out_lanes = jax.lax.broadcasted_iota(jnp.int32, (1, _G_OUT), 1)
+    last_blk = (P - W) // 128
+    wblk = W // 128
+    for g in range(_G_IN):
+        lane_hot = (out_lanes == lane0 + g).astype(col_refs[0].dtype)
+        for ci, c0 in enumerate(range(0, P, C)):
+            jg_f = (
+                c0 + jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)
+            ).astype(jnp.float32)
+            s = s_scr[g * nch + ci, 0]
+            e = e_scr[g * nch + ci, 0]
+            b0_blk = s // 128
+            b0 = b0_blk * 128
+
+            def select_round(r, accs):
+                sr = jnp.minimum(b0_blk + r * wblk, last_blk) * 128
+                win = t_ref[g : g + 1, pl.ds(sr, W)]  # (1, W)
+                winm1 = tm1_ref[g : g + 1, pl.ds(sr, W)]  # (1, W)
+                gidx = sr + iota_w
+                lo = b0 + r * W
+                # Row masks (exactly-once [lo, lo+W) strip across rounds,
+                # pad-row exclusion, and the `gidx == P_real-1` clip
+                # disjunct) are j-independent, so they fold into (1, W)
+                # effective windows; the (C, W) work is then exactly two
+                # compares and one AND.
+                row_ok = (gidx >= lo) & (
+                    gidx < jnp.minimum(lo + W, P_real)
+                )
+                lo_eff = jnp.where(row_ok, winm1, jnp.inf)
+                hi_eff = jnp.where(gidx == P_real - 1, jnp.inf, win)
+                hit = (lo_eff < jg_f) & (hi_eff >= jg_f)  # (C, W)
+                hitf = hit.astype(col_refs[0].dtype)
+                out = []
+                for k in range(K):
+                    cwin = col_refs[k][g : g + 1, pl.ds(sr, W)]
+                    sel = jnp.sum(
+                        hitf * cwin, axis=1, keepdims=True
+                    )  # (C, 1) — exact: a sum with one nonzero term
+                    out.append(accs[k] + sel)
+                return tuple(out)
+
+            n_rounds = (e + 1 - b0) // W + 1
+            accs = tuple(
+                jnp.zeros((C, 1), col_refs[k].dtype) for k in range(K)
+            )
+            accs = select_round(0, accs)
+            accs = jax.lax.cond(
+                n_rounds > 1,
+                lambda a: jax.lax.fori_loop(1, n_rounds, select_round, a),
+                lambda a: a,
+                accs,
+            )
+            for k in range(K):
+                out_refs[k][c0 : c0 + C, :] += accs[k] * lane_hot
+
+
+def _kernel_mxu_rows(P: int, P_real: int, W: int, K: int, C: int,
+                     t_ref, tm1_ref, *refs):
+    """Row-output MXU variant: no output revisiting, no lane-hot RMW.
+
+    The direct-hit mask is built exactly as in :func:`_kernel_direct`, but
+    the K channel selections run as ``cols (K, W) @ hit^T (W, C) -> (K, C)``
+    on the MXU, so each chunk's results land as K static (1, C) row-slice
+    stores into this grid step's own (G_IN, P) output block. Compared to
+    the lane-oriented kernels this removes: the one-hot lane mask and its
+    (C, 128) read-modify-write per (chunk, column), the 16-step output
+    block revisit, and the final XLA transpose of the outputs.
+    """
+    col_refs = refs[:K]
+    out_refs = refs[K : K + K]
+    s_scr, e_scr = refs[K + K], refs[K + K + 1]
+    nch = P // C
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+
+    thr = C * jax.lax.broadcasted_iota(jnp.int32, (nch, 1), 0)
+    for g in range(_G_IN):
+        trow = t_ref[g : g + 1, :]
+        thr_f = thr.astype(trow.dtype)
+        s_scr[g * nch : (g + 1) * nch, 0:1] = jnp.sum(
+            (trow < thr_f).astype(jnp.int32), axis=1, keepdims=True
+        )
+        e_scr[g * nch : (g + 1) * nch, 0:1] = jnp.sum(
+            (trow < thr_f + (C - 1)).astype(jnp.int32),
+            axis=1,
+            keepdims=True,
+        )
+
+    last_blk = (P - W) // 128
+    wblk = W // 128
+    for g in range(_G_IN):
+        for ci, c0 in enumerate(range(0, P, C)):
+            jg_f = (
+                c0 + jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)
+            ).astype(jnp.float32)
+            s = s_scr[g * nch + ci, 0]
+            e = e_scr[g * nch + ci, 0]
+            b0_blk = s // 128
+            b0 = b0_blk * 128
+
+            def select_round(r, accs):
+                sr = jnp.minimum(b0_blk + r * wblk, last_blk) * 128
+                win = t_ref[g : g + 1, pl.ds(sr, W)]  # (1, W)
+                winm1 = tm1_ref[g : g + 1, pl.ds(sr, W)]  # (1, W)
+                gidx = sr + iota_w
+                lo = b0 + r * W
+                row_ok = (gidx >= lo) & (
+                    gidx < jnp.minimum(lo + W, P_real)
+                )
+                lo_eff = jnp.where(row_ok, winm1, jnp.inf)
+                hi_eff = jnp.where(gidx == P_real - 1, jnp.inf, win)
+                hit = (lo_eff < jg_f) & (hi_eff >= jg_f)  # (C, W)
+                hitf = hit.astype(jnp.float32)
+                # f32 accumulation regardless of payload dtype: a single
+                # nonzero term per output, so the value round-trips any
+                # narrower payload dtype exactly at the final store.
+                colmat = jnp.concatenate(
+                    [
+                        col_refs[k][g : g + 1, pl.ds(sr, W)]
+                        for k in range(K)
+                    ],
+                    axis=0,
+                ).astype(jnp.float32)  # (K, W)
+                sel = jax.lax.dot_general(
+                    colmat,
+                    hitf,
+                    (((1,), (1,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32,
+                )  # (K, C)
+                return accs + sel
+
+            n_rounds = (e + 1 - b0) // W + 1
+            accs = jnp.zeros((K, C), jnp.float32)
+            accs = select_round(0, accs)
+            accs = jax.lax.cond(
+                n_rounds > 1,
+                lambda a: jax.lax.fori_loop(1, n_rounds, select_round, a),
+                lambda a: a,
+                accs,
+            )
+            for k in range(K):
+                out_refs[k][g : g + 1, c0 : c0 + C] = accs[k : k + 1, :].astype(out_refs[k].dtype)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("window", "interpret")
+    jax.jit, static_argnames=("window", "interpret", "chunk", "layout")
 )
 def systematic_resample_gather(
-    t, cols, window: int = 256, interpret: bool = False
+    t, cols, window: int = 256, interpret: bool = False, chunk: int = _C,
+    layout: str = "mxu_rows",
 ):
     """Resample payload columns by systematic indices, in one fused pass.
 
@@ -177,6 +373,9 @@ def systematic_resample_gather(
         cols: sequence of (N, P) payload columns (same dtype).
         window: source window width per round (rounded to 128).
         interpret: run in the Pallas interpreter (CPU tests).
+        chunk: output-chunk height C (rounded to 128).
+        layout: kernel variant — 'mxu_rows' (production), 'direct', or
+            'lanes' (see module docstring). All three are bit-identical.
 
     Returns a list of (N, P) columns with
     ``out[k][n, j] = cols[k][n, idx[n, j]]`` where
@@ -186,8 +385,9 @@ def systematic_resample_gather(
     cols = list(cols)
     N, P = t.shape
     K = len(cols)
+    C = max(128, -(-chunk // 128) * 128)
     Np = -(-N // _G_OUT) * _G_OUT
-    Pp = -(-P // 128) * 128
+    Pp = -(-P // C) * C
     if Np != N or Pp != P:
         # Point padding: +inf thresholds (count 0 -> idx 0), harmless rows
         # sliced off below. Particle padding: thresholds above every j so
@@ -197,21 +397,49 @@ def systematic_resample_gather(
         )
         cols = [jnp.pad(c, ((0, Np - N), (0, Pp - P))) for c in cols]
     W = min(-(-window // 128) * 128, Pp)
-    kern = functools.partial(_kernel, Pp, P, W, K)
     row_spec = pl.BlockSpec((_G_IN, Pp), lambda i: (i, 0))
     col_spec = pl.BlockSpec(
         (Pp, _G_OUT), lambda i: (0, i // (_G_OUT // _G_IN))
     )
+    if layout == "mxu_rows":
+        # Shifted threshold row: tm1[i] = t[i-1], with -1 (below every
+        # output index) in front. Built once on the XLA side so both
+        # windows load at the same lane-aligned offsets in the kernel.
+        tm1 = jnp.pad(t[:, :-1], ((0, 0), (1, 0)), constant_values=-1.0)
+        kern = functools.partial(_kernel_mxu_rows, Pp, P, W, K, C)
+        outs = pl.pallas_call(
+            kern,
+            grid=(Np // _G_IN,),
+            in_specs=[row_spec] * (2 + K),
+            out_specs=[row_spec] * K,
+            out_shape=[
+                jax.ShapeDtypeStruct((Np, Pp), c.dtype) for c in cols
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((_G_IN * (Pp // C), 1), jnp.int32)
+            ] * 2,
+            interpret=interpret,
+        )(t, tm1, *cols)
+        return [o[:N, :P] for o in outs]
+    if layout == "direct":
+        tm1 = jnp.pad(t[:, :-1], ((0, 0), (1, 0)), constant_values=-1.0)
+        kern = functools.partial(_kernel_direct, Pp, P, W, K, C)
+        inputs = (t, tm1, *cols)
+        n_in = 2 + K
+    else:
+        kern = functools.partial(_kernel, Pp, P, W, K, C)
+        inputs = (t, *cols)
+        n_in = 1 + K
     outs = pl.pallas_call(
         kern,
         grid=(Np // _G_IN,),
-        in_specs=[row_spec] * (1 + K),
+        in_specs=[row_spec] * n_in,
         out_specs=[col_spec] * K,
         out_shape=[
             jax.ShapeDtypeStruct((Pp, Np), c.dtype) for c in cols
         ],
         scratch_shapes=[
-            pltpu.VMEM((_G_IN * (Pp // _C), 1), jnp.int32)
+            pltpu.VMEM((_G_IN * (Pp // C), 1), jnp.int32)
         ] * 2,
         # K double-buffered (Pp, 128) output blocks overflow the default
         # 16 MB scoped-VMEM budget at production P; v5e has 128 MB VMEM.
@@ -219,5 +447,5 @@ def systematic_resample_gather(
             vmem_limit_bytes=64 * 1024 * 1024
         ),
         interpret=interpret,
-    )(t, *cols)
+    )(*inputs)
     return [jnp.transpose(o)[:N, :P] for o in outs]

@@ -328,6 +328,13 @@ class BatchConfig:
     # shapes). 'auto' resolves to Pallas on TPU when resample_method is
     # 'systematic', else to the XLA merge-rank + gather path.
     resample_mode: str = "auto"  # 'auto' | 'xla' | 'pallas'
+    # Pallas resample kernel shape knobs: source-window width, output
+    # chunk height per sweep (multiples of 128), and kernel layout
+    # ('direct' = count-free two-compare hit; 'lanes' = count+match;
+    # see resample_pallas.py).
+    resample_window: int = 256
+    resample_chunk: int = 128
+    resample_layout: str = "mxu_rows"
     # Whether step outputs include full 6x6 weighted covariances.
     return_covariances: bool = False
     # Effective-sample-size-triggered resampling: None resamples every step
@@ -367,6 +374,11 @@ class BatchConfig:
             raise ValueError(
                 f"highpass_mode must be 'auto', 'xla', or 'pallas',"
                 f" got {self.highpass_mode!r}"
+            )
+        if self.resample_layout not in ("mxu_rows", "direct", "lanes"):
+            raise ValueError(
+                f"resample_layout must be one of mxu_rows|direct|lanes,"
+                f" got {self.resample_layout!r}"
             )
         if self.resample_mode not in ("auto", "xla", "pallas"):
             raise ValueError(
@@ -427,7 +439,8 @@ def _gather_rows(particles, weights, idx):
     return pw[..., :6], pw[..., 6]
 
 
-def _fused_resample(particles, weights, u, mesh=None):
+def _fused_resample(particles, weights, u, mesh=None, window=256, chunk=128,
+                    layout="mxu_rows"):
     """Systematic resample via the fused Pallas kernel (no gather engine).
 
     ``u``: (N, 1) comb offsets. Returns (particles, weights) resampled —
@@ -447,7 +460,8 @@ def _fused_resample(particles, weights, u, mesh=None):
     cols = [particles[..., k] for k in range(6)] + [weights]
     interpret = jax.default_backend() not in ("tpu", "axon")
     kernel = functools.partial(
-        systematic_resample_gather, interpret=interpret
+        systematic_resample_gather, interpret=interpret,
+        window=window, chunk=chunk, layout=layout,
     )
     if mesh is not None:
         from jax.experimental.shard_map import shard_map
@@ -1017,7 +1031,9 @@ class BatchTracker:
             else:
                 u = jnp.reshape(u, weights.shape[:-1] + (1,))
             new_p, new_w = _fused_resample(
-                particles, weights, u, mesh=self.mesh
+                particles, weights, u, mesh=self.mesh,
+                window=cfg.resample_window, chunk=cfg.resample_chunk,
+                layout=cfg.resample_layout,
             )
         else:
             idx = resampling.resample_jax(
