@@ -52,20 +52,27 @@ class Converter:
         cam round trip cancels inversion error).
         """
         if hasattr(self.xcam, "_uv_to_xy"):
-            return self.cam._xy_to_uv(self.xcam._uv_to_xy(self.uv)) - self.uv
-        xy = self.cam._uv_to_xy(self.uv)
-        return self.cam._xy_to_uv(xy) - self.xcam._xy_to_uv(xy)
+            predicted = self.cam._xy_to_uv(self.xcam._uv_to_xy(self.uv))
+            return predicted - self.uv
+        leave = self.cam._uv_to_xy(self.uv)
+        into_cam, into_xcam = (
+            c._xy_to_uv(leave) for c in (self.cam, self.xcam)
+        )
+        return into_cam - into_xcam
 
     def optimize_cam(self, params: Parameters, **kwargs: Any) -> None:
         """Least-squares fit of selected cam parameters to xcam."""
         mask, _ = optimize_module.Cameras.parse_params(params)
+        vector = self.cam._vector
 
-        def fun(x: np.ndarray) -> np.ndarray:
-            self.cam._vector[mask] = x
+        def objective(values: np.ndarray) -> np.ndarray:
+            vector[mask] = values
             return self.residuals().ravel()
 
-        fit = scipy.optimize.least_squares(fun=fun, x0=self.cam._vector[mask], **kwargs)
-        self.cam._vector[mask] = fit.x
+        result = scipy.optimize.least_squares(
+            objective, x0=vector[mask].copy(), **kwargs
+        )
+        vector[mask] = result.x
 
     def _xcam_slots(self, params: Parameters) -> list:
         """Resolve a {attribute: selection} spec into (name, indices) slots."""

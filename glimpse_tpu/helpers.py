@@ -12,6 +12,7 @@ host-side object API and as golden values in tests.
 """
 import datetime
 import gzip
+import itertools
 import json
 import os
 import pickle
@@ -50,24 +51,17 @@ def format_list(
     """
     if x is None:
         raise ValueError("Input cannot be None")
-    if not np.iterable(x):
-        x = [x]
-    elif not isinstance(x, list):
-        x = list(x)
-    if length:
-        n = len(x)
-        if n > length:
-            x = x[:length]
-        elif n < length:
-            if default is not None:
-                x = x + [default] * (length - n)
-            elif n > 0:
-                if length % n != 0:
-                    raise ValueError("Output length is not multiple of input length")
-                x = x * (length // n)
-    if dtype:
-        x = [dtype(i) for i in x]
-    return x
+    items = list(x) if np.iterable(x) else [x]
+    if length and len(items) > length:
+        del items[length:]
+    elif length and len(items) < length:
+        if default is not None:
+            items.extend([default] * (length - len(items)))
+        elif items:
+            if length % len(items):
+                raise ValueError("Output length is not multiple of input length")
+            items = list(itertools.islice(itertools.cycle(items), length))
+    return [dtype(v) for v in items] if dtype else items
 
 
 def numpy_dtype_minmax(dtype: np.dtype) -> Tuple[Any, Any]:
@@ -313,11 +307,14 @@ def match_cdf(
         >>> match_cdf(a, b)
         array([4., 2., 1., 2.])
     """
-    _, quantiles, inverse = compute_cdf(a, return_inverse=True)
     if isinstance(cdf, np.ndarray):
-        cdf = compute_cdf(cdf, return_inverse=False)
-    values = np.interp(quantiles, cdf[1], cdf[0])
-    return values[inverse].reshape(a.shape)
+        cdf = compute_cdf(cdf)
+    # Each element's empirical quantile is the fraction of elements <= it
+    # (right-continuous CDF), obtained by ranking against a sorted copy —
+    # no unique/inverse pass needed.
+    flat = np.ravel(a)
+    ranks = np.searchsorted(np.sort(flat), flat, side="right")
+    return np.interp(ranks / flat.size, cdf[1], cdf[0]).reshape(a.shape)
 
 
 def _numpy_dropdims(a: np.ndarray, axis: int = None, keepdims: bool = False) -> Any:
@@ -694,12 +691,11 @@ def bresenham_circle(center: Iterable[Number], radius: float) -> np.ndarray:
 
 def pairwise_distance(x: Iterable, y: Iterable, **kwargs: Any) -> np.ndarray:
     """Pairwise distances between two sets of points."""
-    x, y = np.asarray(x), np.asarray(y)
-    return scipy.spatial.distance.cdist(
-        x if x.ndim > 1 else x.reshape(-1, 1),
-        y if y.ndim > 1 else y.reshape(-1, 1),
-        **kwargs,
-    )
+    def as2d(p):
+        arr = np.asarray(p)
+        return arr.reshape(len(arr), -1)
+
+    return scipy.spatial.distance.cdist(as2d(x), as2d(y), **kwargs)
 
 
 def interpolate_line(

@@ -49,6 +49,13 @@ CamIndex = Union[int, "Camera"]
 Number = Union[int, float]
 
 
+def _float_pair(arrays):
+    """Coerce a pair of coordinate arrays to float, passing None through."""
+    if arrays is None:
+        return None
+    return [np.asarray(a, dtype=float) for a in arrays]
+
+
 # ---- Control objects ---- #
 # Controls support RANSAC via: .size, .observed(index), .predicted(index).
 
@@ -127,11 +134,11 @@ class Lines(Points):
     def __init__(self, cam: Camera, uvs, xyzs, directions: bool = False,
                  density: float = 1) -> None:
         self.cam = cam
-        self.uvs = [np.asarray(uv, dtype=float) for uv in uvs]
-        self.uv = np.concatenate(self.uvs, axis=0)
         self.xyzs = xyzs
         self.directions = directions
         self.density = density
+        self.uvs = _float_pair(uvs) or []
+        self.uv = np.vstack(self.uvs)
         self._remember_camera_state()
 
     def _frame_window_xy(self) -> np.ndarray:
@@ -215,8 +222,8 @@ class Matches:
 
     def __init__(self, cams, uvs, weights=None) -> None:
         self.cams = cams
-        self.uvs = [np.asarray(uv, dtype=float) for uv in uvs] if uvs else uvs
         self.weights = weights
+        self.uvs = _float_pair(uvs) if uvs else uvs
         self._test_matches()
         self._test_position()
         self._imgszs = [cam.imgsz.copy() for cam in cams]
@@ -345,34 +352,22 @@ class RotationMatches(Matches):
     """
 
     def __init__(self, cams, uvs=None, xys=None, weights=None) -> None:
-        self.cams = cams
-        self.uvs, self.xys = self._parse_uvs_xys(uvs, xys)
-        self.uvs = self._build_uvs()
-        self.xys = self._build_xys()
-        self.weights = weights
-        self._test_matches()
-        self._internals = [cam.to_array()[6:] for cam in self.cams]
-
-    def _parse_uvs_xys(self, uvs, xys):
         if uvs is None and xys is None:
             raise ValueError("Both uvs and xys are missing")
-
-        def as_float_pair(pair):
-            return None if pair is None else [
-                np.asarray(p, dtype=float) for p in pair
-            ]
-
-        return as_float_pair(uvs), as_float_pair(xys)
-
-    def _build_xys(self) -> List[np.ndarray]:
+        self.cams = cams
+        self.weights = weights
+        self.uvs = _float_pair(uvs)
+        self.xys = _float_pair(xys)
         if self.xys is None:
-            return [cam._uv_to_xy(uv) for cam, uv in zip(self.cams, self.uvs)]
-        return self.xys
+            self.xys = [c._uv_to_xy(uv) for c, uv in zip(cams, self.uvs)]
+        elif self.uvs is None:
+            self.uvs = [c._xy_to_uv(xy) for c, xy in zip(cams, self.xys)]
+        self._test_matches()
+        self._snapshot_internals()
 
-    def _build_uvs(self) -> Optional[List[np.ndarray]]:
-        if self.uvs is None:
-            return [cam._xy_to_uv(xy) for cam, xy in zip(self.cams, self.xys)]
-        return self.uvs
+    def _snapshot_internals(self) -> None:
+        """Record imgsz/f/c/k/p, which must not change after construction."""
+        self._internals = [cam.to_array()[6:] for cam in self.cams]
 
     def _test_internals(self) -> None:
         if any(
@@ -404,12 +399,16 @@ class RotationMatchesXY(RotationMatches):
     """
 
     def __init__(self, cams, uvs=None, xys=None, weights=None) -> None:
+        if uvs is None and xys is None:
+            raise ValueError("Both uvs and xys are missing")
         self.cams = cams
-        self.uvs, self.xys = self._parse_uvs_xys(uvs, xys)
-        self.xys = self._build_xys()
         self.weights = weights
+        self.uvs = _float_pair(uvs)  # may stay None (dropped to save memory)
+        self.xys = _float_pair(xys)
+        if self.xys is None:
+            self.xys = [c._uv_to_xy(uv) for c, uv in zip(cams, self.uvs)]
         self._test_matches()
-        self._internals = [cam.to_array()[6:] for cam in self.cams]
+        self._snapshot_internals()
 
     @property
     def size(self) -> int:
@@ -433,7 +432,10 @@ class RotationMatchesXY(RotationMatches):
         if mtype is type(self):
             return self
         if mtype is Matches:
-            return mtype(cams=self.cams, uvs=self._build_uvs(), weights=self.weights)
+            uvs = self.uvs
+            if uvs is None:
+                uvs = [c._xy_to_uv(xy) for c, xy in zip(self.cams, self.xys)]
+            return mtype(cams=self.cams, uvs=uvs, weights=self.weights)
         return mtype(cams=self.cams, uvs=self.uvs, xys=self.xys, weights=self.weights)
 
     def plot(self, *args: Any, **kwargs: Any) -> None:
@@ -452,8 +454,8 @@ class RotationMatchesXYZ(RotationMatchesXY):
         self._test_position()
         self._test_internals()
         c = self._cam_index(cam)
-        dxyz = self.cams[c]._xy_to_xyz(self.xys[c][index])
-        return dxyz / np.linalg.norm(dxyz, ord=2, axis=1, keepdims=True)
+        rays = self.cams[c]._xy_to_xyz(self.xys[c][index])
+        return rays / np.sqrt((rays * rays).sum(axis=1, keepdims=True))
 
     def observed(self, *args: Any, **kwargs: Any) -> None:
         """Observed coordinates are not available for RotationMatchesXYZ."""

@@ -231,33 +231,34 @@ class Grid:
         self._x = self._y = self._X = self._Y = None
 
     def shift(self, dx: Number = None, dy: Number = None) -> None:
-        """Shift grid position in x and/or y."""
-        if dx is not None:
-            self._xlim = self._xlim + dx
-            if self._x is not None:
-                self._x = self._x + dx
-            if self._X is not None:
-                self._X = self._X + dx
-        if dy is not None:
-            self._ylim = self._ylim + dy
-            if self._y is not None:
-                self._y = self._y + dy
-            if self._Y is not None:
-                self._Y = self._Y + dy
+        """Shift grid position in x and/or y.
+
+        All cached coordinate products (limits, vectors, meshes) move
+        together so no lazy cache needs invalidating.
+        """
+        for name, delta in (("x", dx), ("y", dy)):
+            if delta is None:
+                continue
+            for attr in (f"_{name}lim", f"_{name}", f"_{name.upper()}"):
+                held = getattr(self, attr)
+                if held is not None:
+                    setattr(self, attr, held + delta)
 
     def inbounds_xy(self, xy, grid: bool = False):
         """Test whether world points (n, 2) — or grid vectors — are in bounds."""
+        lo, hi = self.min[0:2], self.max[0:2]
         if grid:
-            return (
-                (xy[0] >= self.min[0]) & (xy[0] <= self.max[0]),
-                (xy[1] >= self.min[1]) & (xy[1] <= self.max[1]),
+            return tuple(
+                (np.asarray(v) >= lo[i]) & (np.asarray(v) <= hi[i])
+                for i, v in enumerate(xy[:2])
             )
-        xy = np.asarray(xy)
-        return np.all((xy >= self.min[0:2]) & (xy <= self.max[0:2]), axis=1)
+        ok = (np.asarray(xy) >= lo) & (np.asarray(xy) <= hi)
+        return ok.all(axis=1)
 
     def inbounds(self, uv) -> np.ndarray:
         """Test whether image coordinates (n, 2) are in (or on) bounds."""
-        return np.all((np.asarray(uv) >= 0) & (np.asarray(uv) <= self.size), axis=1)
+        uv = np.asarray(uv)
+        return ((uv >= 0) & (uv <= self.size)).all(axis=1)
 
     def snap_xy(
         self, xy, centers: bool = False, edges: bool = False, inbounds: bool = True
@@ -319,13 +320,13 @@ class Grid:
 
     def xy_to_rowcol(self, xy, snap: bool = False, inbounds: bool = True) -> np.ndarray:
         """World coordinates (n, 2) -> (fractional or snapped) array indices."""
+        pts = np.asarray(xy, dtype=float)
         if snap:
-            xy = self.snap_xy(xy, centers=True, edges=False, inbounds=inbounds)
-        origin = np.append(self.xlim[0], self.ylim[0])
-        colrow = (np.asarray(xy) - origin) / self.d - 0.5
-        if snap:
-            colrow = colrow.round().astype(int)
-        return colrow[:, ::-1]
+            pts = self.snap_xy(pts, centers=True, edges=False, inbounds=inbounds)
+        cols = (pts[:, 0] - self.xlim[0]) / self.d[0] - 0.5
+        rows = (pts[:, 1] - self.ylim[0]) / self.d[1] - 0.5
+        out = np.column_stack((rows, cols))
+        return out.round().astype(int) if snap else out
 
     def rowcol_to_idx(self, rowcol) -> np.ndarray:
         """Array indices (n, 2) -> flat indices (n,)."""
@@ -562,11 +563,10 @@ class Raster(Grid):
 
     def write(self, path: Union[str, Path], **kwargs: Any) -> None:
         """Write to a GeoTIFF with this raster's transform and CRS."""
-        kwargs = {
-            "transform": (self.xlim[0], self.d[0], 0, self.ylim[0], 0, self.d[1]),
-            "crs": self.crs,
-            **kwargs,
-        }
+        # GDAL-style affine: top-left corner + per-axis spacing, no rotation.
+        affine = (self.xlim[0], self.d[0], 0.0, self.ylim[0], 0.0, self.d[1])
+        kwargs.setdefault("transform", affine)
+        kwargs.setdefault("crs", self.crs)
         geotiff.write(path, self.array, **kwargs)
 
     # ---- Array properties ---- #
@@ -819,10 +819,10 @@ class Raster(Grid):
 
     def resample(self, grid: Grid, **kwargs: Any) -> None:
         """Resample values onto another grid's coordinate system."""
-        array = self.sample((grid.x, grid.y), grid=True, **kwargs)
-        self.array = array
-        self.xlim, self.ylim = grid.xlim.copy(), grid.ylim.copy()
-        self._x, self._y = grid.x.copy(), grid.y.copy()
+        target = grid.copy()  # decouple adopted coordinates from the source
+        self.array = self.sample((target.x, target.y), grid=True, **kwargs)
+        self.xlim, self.ylim = target.xlim, target.ylim
+        self._x, self._y = target.x, target.y
 
     # ---- Editing ---- #
 
@@ -1023,16 +1023,13 @@ class Raster(Grid):
 
     def crop_to_data(self) -> None:
         """Crop to the bounds of non-missing values."""
-        slices = self.data_extent()
-        x = self.x[slices[1]]
-        y = self.y[slices[0]]
-        xlim = x[[0, -1]] + np.array([-0.5, 0.5]) * self.d[0]
-        ylim = y[[0, -1]] + np.array([-0.5, 0.5]) * self.d[1]
-        self.array = self.array[slices]
-        self.xlim = xlim
-        self.ylim = ylim
-        self._x = x
-        self._y = y
+        rows, cols = self.data_extent()
+        keep_x, keep_y = self.x[cols], self.y[rows]
+        half = 0.5 * self.d
+        self.array = self.array[rows, cols]
+        self.xlim = np.array([keep_x[0] - half[0], keep_x[-1] + half[0]])
+        self.ylim = np.array([keep_y[0] - half[1], keep_y[-1] + half[1]])
+        self._x, self._y = keep_x, keep_y
 
     def plot(self, array: np.ndarray = None, **kwargs: Any):
         """Plot with matplotlib, extent in world coordinates."""

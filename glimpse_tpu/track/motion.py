@@ -26,6 +26,25 @@ def _as_raster(obj) -> Raster:
     return Raster(obj, x=[-np.inf, np.inf], y=[-np.inf, np.inf])
 
 
+def _noisy(rng: np.random.Generator, mean, sigma, n: int, k: int) -> np.ndarray:
+    """(n, k) Gaussian draws ``mean + sigma * N(0, 1)``, broadcast over rows."""
+    return np.asarray(mean) + np.asarray(sigma) * rng.standard_normal((n, k))
+
+
+def _polar_xy(r: np.ndarray, theta: np.ndarray) -> np.ndarray:
+    """(n, 2) cartesian components of polar vectors (r, theta CCW from +x)."""
+    return np.column_stack((r * np.cos(theta), r * np.sin(theta)))
+
+
+def _surface_z(dem: Raster, dem_sigma: Optional[Raster], xy: np.ndarray,
+               rng: np.random.Generator) -> np.ndarray:
+    """Heights drawn from a mean surface and (optionally) its uncertainty."""
+    z = dem.sample(xy)
+    if dem_sigma is not None:
+        z = z + dem_sigma.sample(xy) * rng.standard_normal(len(xy))
+    return z
+
+
 def _rotate_polar_accel(v_xy: np.ndarray, radial: np.ndarray,
                         angular: np.ndarray) -> np.ndarray:
     """Rotate per-particle polar acceleration onto the velocity frame.
@@ -68,10 +87,11 @@ class Motion:
 
     def initialize_particles(self) -> np.ndarray:
         """Particle positions and velocities (n, 6)."""
-        particles = np.zeros((self.n, 6), dtype=float)
-        particles[:, 0:2] = self.xy
-        particles[:, 3:6] = self.vxyz_sigma * self.rng.standard_normal((self.n, 3))
-        return particles
+        anchor = np.append(np.asarray(self.xy, dtype=float), 0.0)
+        return np.column_stack((
+            np.tile(anchor, (self.n, 1)),
+            _noisy(self.rng, 0.0, self.vxyz_sigma, self.n, 3),
+        ))
 
     def evolve_particles(self, particles: np.ndarray, dt: datetime.timedelta) -> None:
         """Advance particles in place by ``dt``."""
@@ -118,37 +138,26 @@ class CartesianMotion(Motion):
         self.rng = np.random.default_rng(seed)
 
     def initialize_particles(self) -> np.ndarray:
-        particles = np.zeros((self.n, 6), dtype=float)
-        particles[:, 0:2] = self.xy + self.xy_sigma * self.rng.standard_normal(
-            (self.n, 2)
-        )
-        particles[:, 2] = self.dem.sample(particles[:, 0:2])
-        if self.dem_sigma is not None:
-            z_sigma = self.dem_sigma.sample(particles[:, 0:2])
-            particles[:, 2] += z_sigma * self.rng.standard_normal(self.n)
-        particles[:, 3:6] = self.vxyz + self.vxyz_sigma * self.rng.standard_normal(
-            (self.n, 3)
-        )
-        return particles
+        xy = _noisy(self.rng, self.xy, self.xy_sigma, self.n, 2)
+        z = _surface_z(self.dem, self.dem_sigma, xy, self.rng)
+        v = _noisy(self.rng, self.vxyz, self.vxyz_sigma, self.n, 3)
+        return np.column_stack((xy, z, v))
 
     def evolve_particles(self, particles: np.ndarray, dt: datetime.timedelta) -> None:
-        n = len(particles)
         units = dt.total_seconds() / self.time_unit.total_seconds()
-        axyz = self.axyz + self.axyz_sigma * self.rng.standard_normal((n, 3))
+        axyz = _noisy(self.rng, self.axyz, self.axyz_sigma, len(particles), 3)
         particles[:, 0:3] += units * particles[:, 3:6] + 0.5 * axyz * units ** 2
         particles[:, 3:6] += units * axyz
 
     def compute_log_likelihoods(self, particles: np.ndarray) -> Optional[np.ndarray]:
         if self.dem_sigma is None:
             return None
-        z = self.dem.sample(particles[:, 0:2])
-        z_sigma = self.dem_sigma.sample(particles[:, 0:2])
-        nonzero = np.nonzero(z_sigma)[0]
-        ll = np.zeros(len(particles), dtype=float)
-        ll[nonzero] = (
-            (z[nonzero] - particles[nonzero, 2]) ** 2 / (2 * z_sigma[nonzero] ** 2)
-        )
-        return ll
+        xy = particles[:, 0:2]
+        gap = self.dem.sample(xy) - particles[:, 2]
+        sig = self.dem_sigma.sample(xy)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ll = gap * gap / (2.0 * sig * sig)
+        return np.where(sig != 0, ll, 0.0)
 
 
 class CylindricalMotion(CartesianMotion):
@@ -179,29 +188,18 @@ class CylindricalMotion(CartesianMotion):
         self.arthz_sigma = arthz_sigma
 
     def initialize_particles(self) -> np.ndarray:
-        particles = np.zeros((self.n, 6), dtype=float)
-        particles[:, 0:2] = self.xy + self.xy_sigma * self.rng.standard_normal(
-            (self.n, 2)
-        )
-        particles[:, 2] = self.dem.sample(particles[:, 0:2])
-        if self.dem_sigma is not None:
-            z_sigma = self.dem_sigma.sample(particles[:, 0:2])
-            particles[:, 2] += z_sigma * self.rng.standard_normal(self.n)
-        v = self.vrthz + self.vrthz_sigma * self.rng.standard_normal((self.n, 3))
-        particles[:, 3] = v[:, 0] * np.cos(v[:, 1])
-        particles[:, 4] = v[:, 0] * np.sin(v[:, 1])
-        particles[:, 5] = v[:, 2]
-        return particles
+        xy = _noisy(self.rng, self.xy, self.xy_sigma, self.n, 2)
+        z = _surface_z(self.dem, self.dem_sigma, xy, self.rng)
+        v = _noisy(self.rng, self.vrthz, self.vrthz_sigma, self.n, 3)
+        return np.column_stack((xy, z, _polar_xy(v[:, 0], v[:, 1]), v[:, 2]))
 
     def evolve_particles(self, particles: np.ndarray, dt: datetime.timedelta) -> None:
         units = dt.total_seconds() / self.time_unit.total_seconds()
-        draws = self.rng.standard_normal((len(particles), 3))
-        polar = self.arthz + self.arthz_sigma * draws
-        accel = np.empty((len(particles), 3))
-        accel[:, 0:2] = _rotate_polar_accel(
-            particles[:, 3:5], polar[:, 0], polar[:, 1]
-        )
-        accel[:, 2] = polar[:, 2]
+        polar = _noisy(self.rng, self.arthz, self.arthz_sigma, len(particles), 3)
+        accel = np.column_stack((
+            _rotate_polar_accel(particles[:, 3:5], polar[:, 0], polar[:, 1]),
+            polar[:, 2],
+        ))
         particles[:, 0:3] += units * particles[:, 3:6] + (
             0.5 * units * units
         ) * accel
@@ -244,18 +242,10 @@ class TangentCartesianMotion(Motion):
         self.rng = np.random.default_rng(seed)
 
     def initialize_particles(self) -> np.ndarray:
-        particles = np.zeros((self.n, 6), dtype=float)
-        particles[:, 0:2] = self.xy + self.xy_sigma * self.rng.standard_normal(
-            (self.n, 2)
-        )
-        z_offsets = self.dem_sigma.sample(
-            particles[:, 0:2]
-        ) * self.rng.standard_normal(self.n)
-        particles[:, 2] = self.dem.sample(particles[:, 0:2]) + z_offsets
-        particles[:, 3:5] = self.vxy + self.vxy_sigma * self.rng.standard_normal(
-            (self.n, 2)
-        )
-        return particles
+        xy = _noisy(self.rng, self.xy, self.xy_sigma, self.n, 2)
+        z = _surface_z(self.dem, self.dem_sigma, xy, self.rng)
+        v = _noisy(self.rng, self.vxy, self.vxy_sigma, self.n, 2)
+        return np.column_stack((xy, z, v, np.zeros(self.n)))
 
     def _glide(self, particles: np.ndarray, dxy: np.ndarray) -> None:
         """Move horizontally by ``dxy``, keeping z glued to the DEM.
@@ -311,25 +301,17 @@ class TangentCylindricalMotion(TangentCartesianMotion):
         self.arth_sigma = arth_sigma
 
     def initialize_particles(self) -> np.ndarray:
-        particles = np.zeros((self.n, 6), dtype=float)
-        particles[:, 0:2] = self.xy + self.xy_sigma * self.rng.standard_normal(
-            (self.n, 2)
-        )
-        z_offsets = self.dem_sigma.sample(
-            particles[:, 0:2]
-        ) * self.rng.standard_normal(self.n)
-        particles[:, 2] = self.dem.sample(particles[:, 0:2]) + z_offsets
-        vrth = self.vrth + self.vrth_sigma * self.rng.standard_normal((self.n, 2))
-        particles[:, 3] = vrth[:, 0] * np.cos(vrth[:, 1])
-        particles[:, 4] = vrth[:, 0] * np.sin(vrth[:, 1])
-        return particles
+        xy = _noisy(self.rng, self.xy, self.xy_sigma, self.n, 2)
+        z = _surface_z(self.dem, self.dem_sigma, xy, self.rng)
+        v = _noisy(self.rng, self.vrth, self.vrth_sigma, self.n, 2)
+        return np.column_stack((xy, z, _polar_xy(v[:, 0], v[:, 1]),
+                                np.zeros(self.n)))
 
     def evolve_particles(self, particles: np.ndarray, dt: datetime.timedelta) -> None:
         units = dt.total_seconds() / self.time_unit.total_seconds()
-        draws = self.rng.standard_normal((len(particles), 2))
-        polar = self.arth + self.arth_sigma * draws
+        polar = _noisy(self.rng, self.arth, self.arth_sigma, len(particles), 2)
         axy = _rotate_polar_accel(particles[:, 3:5], polar[:, 0], polar[:, 1])
-        dxy = units * particles[:, 3:5] + (0.5 * units * units) * axy
-        self._glide(particles, dxy)
-        particles[:, 3:5] += units * axy
+        self._glide(
+            particles, units * particles[:, 3:5] + (0.5 * units * units) * axy
+        )
         particles[:, 3:5] += units * axy

