@@ -48,13 +48,12 @@ class Matlab:
     """
 
     def __init__(self, imgsz, fc, cc=None, kc=(0, 0, 0, 0, 0), alpha_c: float = 0):
-        self.imgsz = imgsz
-        self.fc = fc
-        if cc is None:
-            cc = (imgsz[0] - 1) / 2, (imgsz[1] - 1) / 2
-        self.cc = cc
-        self.kc = kc
-        self.alpha_c = alpha_c
+        params = {k: v for k, v in locals().items() if k != "self"}
+        if params["cc"] is None:
+            # Default principal point: center of the (0, 0)-at-top-left-pixel
+            # frame.
+            params["cc"] = tuple((np.asarray(imgsz, dtype=float) - 1) / 2)
+        vars(self).update(params)
 
     @classmethod
     def from_report(cls, path: Union[str, Path], sigmas: bool = False) -> "Matlab":
@@ -153,14 +152,12 @@ class OpenCV:
 
     def __init__(self, imgsz, fx, fy, cx=None, cy=None, k1=0, k2=0, k3=0, k4=0,
                  k5=0, k6=0, p1=0, p2=0, s1=0, s2=0, s3=0, s4=0):
-        given = locals()
-        self.imgsz = imgsz
-        self.fx, self.fy = fx, fy
+        params = {k: v for k, v in locals().items() if k != "self"}
         # Principal point defaults to the image center.
-        self.cx = imgsz[0] / 2 if cx is None else cx
-        self.cy = imgsz[1] / 2 if cy is None else cy
-        for key in self._DIST_KEYS:
-            setattr(self, key, given[key])
+        for axis, span in zip(("cx", "cy"), imgsz):
+            if params[axis] is None:
+                params[axis] = span / 2
+        vars(self).update(params)
 
     @property
     def cameraMatrix(self) -> List[Tuple[float, ...]]:
@@ -253,33 +250,33 @@ class OpenCV:
 class Agisoft:
     """Agisoft PhotoScan/Metashape/Lens frame camera model."""
 
+    _XML_TAGS = ("width", "height", "f", "cx", "cy", "k1", "k2", "k3", "k4",
+                 "p1", "p2", "b1", "b2")
+
     def __init__(self, imgsz, f, cx=0, cy=0, k1=0, k2=0, k3=0, k4=0, p1=0, p2=0,
                  b1=0, b2=0):
-        self.imgsz = imgsz
-        self.f = f
-        self.cx, self.cy = cx, cy
-        self.k1, self.k2, self.k3, self.k4 = k1, k2, k3, k4
-        self.p1, self.p2 = p1, p2
-        self.b1, self.b2 = b1, b2
+        vars(self).update(
+            {k: v for k, v in locals().items() if k != "self"}
+        )
 
     @classmethod
     def from_xml(cls, path: Union[str, Path]) -> "Agisoft":
         """From an Agisoft XML calibration file."""
         tree = xml.etree.ElementTree.parse(path)
-        calibration = next((e for e in tree.iter("calibration")), None)
-        if calibration is None:
+        node = next(tree.iter("calibration"), None)
+        if node is None:
             raise ValueError("No <calibration> element found")
-        kwargs: Dict[str, Any] = {}
-        for child in calibration:
-            if child.tag == "projection" and child.text != "frame":
-                raise ValueError(f"Unsupported camera model type: {child.text}")
-            if child.text and child.tag in (
-                "width", "height", "f", "cx", "cy", "k1", "k2", "k3", "k4",
-                "p1", "p2", "b1", "b2",
-            ):
-                kwargs[child.tag] = float(child.text)
-        kwargs["imgsz"] = int(kwargs.pop("width")), int(kwargs.pop("height"))
-        return cls(**kwargs)
+        text = {child.tag: child.text for child in node}
+        projection = text.pop("projection", "frame")
+        if projection != "frame":
+            raise ValueError(f"Unsupported camera model type: {projection}")
+        fields = {
+            tag: float(value)
+            for tag, value in text.items()
+            if value and tag in cls._XML_TAGS
+        }
+        size = int(fields.pop("width")), int(fields.pop("height"))
+        return cls(imgsz=size, **fields)
 
     @classmethod
     def _from_camera_initial(cls, cam: Camera) -> "Agisoft":
@@ -344,12 +341,9 @@ class PhotoModeler:
 
     def __init__(self, imgsz, focal, xp=0, yp=0, fw=0, fh=0, k1=0, k2=0, k3=0,
                  p1=0, p2=0):
-        self.imgsz = imgsz
-        self.focal = focal
-        self.xp, self.yp = xp, yp
-        self.fw, self.fh = fw, fh
-        self.k1, self.k2, self.k3 = k1, k2, k3
-        self.p1, self.p2 = p1, p2
+        vars(self).update(
+            {k: v for k, v in locals().items() if k != "self"}
+        )
 
     @classmethod
     def from_report(cls, path: Union[str, Path], imgsz, sigmas: bool = False) -> "PhotoModeler":

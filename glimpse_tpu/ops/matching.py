@@ -29,8 +29,7 @@ def _ceil_to(n: int, step: int) -> int:
     return -(-n // step) * step
 
 
-@functools.partial(jax.jit, static_argnames=("cross_check",))
-def _match_padded(da, db, na, nb, max_ratio, cross_check: bool):
+def _match_core(da, db, na, nb, max_ratio, cross_check: bool):
     """Match padded descriptor stacks; returns (best index, ratio, valid).
 
     ``da`` (Na, D), ``db`` (Nb, D) float32 with rows >= na / nb undefined;
@@ -61,6 +60,24 @@ def _match_padded(da, db, na, nb, max_ratio, cross_check: bool):
     return best, ratio, valid
 
 
+_match_padded = functools.partial(jax.jit, static_argnames=("cross_check",))(
+    _match_core
+)
+
+
+@functools.partial(jax.jit, static_argnames=("cross_check",))
+def _match_batch(da, db, na, nb, max_ratio, cross_check: bool):
+    """Vmapped pair matching: ``da``/``db`` (B, N, D), ``na``/``nb`` (B,).
+
+    One dispatch serves B image pairs — through a remote-tunnel TPU the
+    per-dispatch RPC (~30 ms) otherwise dominates each pair's device time.
+    """
+    return jax.vmap(
+        functools.partial(_match_core, cross_check=cross_check),
+        in_axes=(0, 0, 0, 0, None),
+    )(da, db, na, nb, max_ratio)
+
+
 class DescriptorMatcher:
     """Pairwise descriptor matcher with one compiled program per pad size.
 
@@ -78,28 +95,94 @@ class DescriptorMatcher:
         self._device_cache = {}  # id(array) -> (weakref-checked array, jnp)
         self._order = []
 
-    def _pad(self, d: np.ndarray) -> np.ndarray:
-        n = _ceil_to(max(len(d), 1), self.pad_step)
+    def _pad(self, d: np.ndarray, pad_to: Optional[int] = None) -> np.ndarray:
+        n = pad_to or _ceil_to(max(len(d), 1), self.pad_step)
         if len(d) == n:
             return np.ascontiguousarray(d, dtype=np.float32)
         out = np.zeros((n, d.shape[1]), dtype=np.float32)
         out[: len(d)] = d
         return out
 
-    def _device_stack(self, d: np.ndarray):
-        key = id(d)
+    def _device_stack(self, d: np.ndarray, pad_to: Optional[int] = None):
+        key = (id(d), pad_to)
         hit = self._device_cache.get(key)
         # Guard against id() reuse after garbage collection: keep the host
         # array alive inside the cache entry and require identity.
         if hit is not None and hit[0] is d:
             return hit[1]
-        dev = jnp.asarray(self._pad(d))
+        dev = jnp.asarray(self._pad(d, pad_to))
         self._device_cache[key] = (d, dev)
         self._order.append(key)
         while len(self._order) > self.cache_entries:
             old = self._order.pop(0)
             self._device_cache.pop(old, None)
         return dev
+
+    def match_pairs(
+        self,
+        descriptors,
+        pairs,
+        max_ratio: Optional[float] = None,
+        cross_check: bool = False,
+        batch: Optional[int] = None,
+    ):
+        """Match many image pairs in chunked batched device dispatches.
+
+        ``descriptors``: sequence of per-image (n_i, D) stacks; ``pairs``:
+        (M, 2) indices into it. Every stack is padded to ONE common size so
+        a single compiled program (per chunk width) serves the whole set,
+        and each chunk of pairs costs one dispatch instead of ``batch``.
+        Returns a list of ``(pair_indices (m, 2), ratios (m,))`` aligned
+        with ``pairs`` — the same contract as :meth:`match` per pair.
+        """
+        pairs = np.asarray(pairs, dtype=int).reshape(-1, 2)
+        empty = (np.empty((0, 2), dtype=int), np.empty(0, dtype=np.float32))
+        out = [empty] * len(pairs)
+        todo = [
+            m
+            for m in range(len(pairs))
+            if min(len(descriptors[pairs[m, 0]]), len(descriptors[pairs[m, 1]])) >= 2
+        ]
+        if not todo:
+            return out
+        used = {int(k) for k in np.unique(pairs[todo])}
+        n_pad = _ceil_to(max(len(descriptors[k]) for k in used), self.pad_step)
+        if batch is None:
+            # Keep the (B, N, N) distance block (+ top-k workspace) within
+            # a ~4 GB budget.
+            batch = max(1, min(32, 4_000_000_000 // (n_pad * n_pad * 12)))
+        ratio_val = np.float32(np.inf if max_ratio is None else max_ratio)
+        for start in range(0, len(todo), batch):
+            chunk = todo[start : start + batch]
+            rows = len(chunk)
+            # Pad the final chunk by repeating its last pair so every chunk
+            # compiles at the same width; extras are discarded below.
+            full = chunk + [chunk[-1]] * (batch - rows)
+            da = jnp.stack(
+                [self._device_stack(descriptors[pairs[m, 0]], n_pad) for m in full]
+            )
+            db = jnp.stack(
+                [self._device_stack(descriptors[pairs[m, 1]], n_pad) for m in full]
+            )
+            na = jnp.asarray(
+                [len(descriptors[pairs[m, 0]]) for m in full], jnp.int32
+            )
+            nb = jnp.asarray(
+                [len(descriptors[pairs[m, 1]]) for m in full], jnp.int32
+            )
+            best, ratio, valid = _match_batch(
+                da, db, na, nb, ratio_val, bool(cross_check)
+            )
+            best = np.asarray(best)
+            ratio = np.asarray(ratio)
+            valid = np.asarray(valid)
+            for row, m in enumerate(chunk):
+                keep = np.flatnonzero(valid[row])
+                out[m] = (
+                    np.column_stack([keep, best[row][keep]]),
+                    ratio[row][keep],
+                )
+        return out
 
     def match(
         self,

@@ -451,11 +451,11 @@ class RotationMatchesXYZ(RotationMatchesXY):
 
     def predicted(self, cam: CamIndex = 0, index: Index = slice(None)) -> np.ndarray:
         """Unit-length world ray directions for one camera's observations."""
-        self._test_position()
-        self._test_internals()
-        c = self._cam_index(cam)
-        rays = self.cams[c]._xy_to_xyz(self.xys[c][index])
-        return rays / np.sqrt((rays * rays).sum(axis=1, keepdims=True))
+        for guard in (self._test_position, self._test_internals):
+            guard()
+        which = self._cam_index(cam)
+        rays = self.cams[which]._xy_to_xyz(self.xys[which][index])
+        return rays / np.linalg.norm(rays, axis=1, keepdims=True)
 
     def observed(self, *args: Any, **kwargs: Any) -> None:
         """Observed coordinates are not available for RotationMatchesXYZ."""
@@ -1729,6 +1729,58 @@ class KeypointMatcher:
                 )
             return self.keypoints[k]
 
+        # Device path: instead of one dispatch per pair, match every
+        # not-yet-cached pair up front in chunked batched dispatches (one
+        # compiled program + one RPC per chunk; see ops.matching.match_pairs).
+        precomputed = None
+        if kwargs.get("matcher") == "device":
+            need = []
+            for i, js in enumerate(matching_images):
+                for j in js:
+                    cache_file = (
+                        path / f"{basenames[i]}-{basenames[j]}.pkl"
+                        if path
+                        else None
+                    )
+                    if overwrite or cache_file is None or not cache_file.exists():
+                        need.append((int(i), int(j)))
+            precomputed = {}
+            if need:
+                involved = {k for ij in need for k in ij}
+                for k in involved:
+                    ensure_keypoints(k)
+                no_desc = np.empty((0, 1), dtype=np.float32)
+                descs = [
+                    self.keypoints[k][1]
+                    if (
+                        k in involved
+                        and self.keypoints[k] is not None
+                        and self.keypoints[k][1] is not None
+                    )
+                    else no_desc
+                    for k in range(n)
+                ]
+                found_all = _shared_device_matcher().match_pairs(
+                    descs,
+                    np.asarray(need, dtype=int),
+                    max_ratio=kwargs.get("max_ratio"),
+                    cross_check=kwargs.get("cross_check", False),
+                )
+                max_distance = kwargs.get("max_distance")
+                no_uv = np.empty((0, 2), dtype=float)
+                for (i, j), (idx, ratios) in zip(need, found_all):
+                    if len(idx):
+                        uva = _keypoint_pts(self.keypoints[i][0])[idx[:, 0]]
+                        uvb = _keypoint_pts(self.keypoints[j][0])[idx[:, 1]]
+                    else:
+                        uva, uvb = no_uv, no_uv.copy()
+                    if max_distance:
+                        ok = np.linalg.norm(uva - uvb, axis=1) < max_distance
+                        uva, uvb, ratios = uva[ok], uvb[ok], ratios[ok]
+                    precomputed[(i, j)] = (
+                        (uva, uvb, ratios) if weights else (uva, uvb)
+                    )
+
         def match_pair(i: int, j: int):
             """Load the cached pair match, or compute (and cache) it.
 
@@ -1742,9 +1794,15 @@ class KeypointMatcher:
                 match = helpers.read_pickle(cache_file)
                 match.cams = cams
             else:
-                found = match_keypoints(
-                    ensure_keypoints(i), ensure_keypoints(j), **kwargs
+                found = (
+                    precomputed.pop((int(i), int(j)), None)
+                    if precomputed is not None
+                    else None
                 )
+                if found is None:
+                    found = match_keypoints(
+                        ensure_keypoints(i), ensure_keypoints(j), **kwargs
+                    )
                 match = Matches(
                     cams=cams,
                     uvs=list(found[0:2]),

@@ -499,3 +499,75 @@ def test_device_matcher_agrees_with_bruteforce() -> None:
     overlap = len(set_bf & set_dev) / max(len(set_bf | set_dev), 1)
     assert overlap > 0.99, (len(set_bf), len(set_dev), overlap)
     assert len(uva_dev) > 100
+
+
+def test_batched_match_pairs_agrees_with_per_pair() -> None:
+    """match_pairs (one chunked dispatch for many pairs, common padding)
+    returns exactly what per-pair DescriptorMatcher.match returns, including
+    pairs whose stacks differ in size, tiny stacks, and the padded tail of a
+    partial final chunk."""
+    from glimpse_tpu.ops.matching import DescriptorMatcher
+
+    rng = np.random.default_rng(0)
+    sizes = [700, 1301, 64, 5, 1, 900]
+    descs = [
+        rng.normal(size=(int(s), 64)).astype(np.float32) * 10 for s in sizes
+    ]
+    # Make some descriptors near-identical across images so real matches
+    # (and ratio-test ties) exist.
+    descs[1][:300] = descs[0][:300] + rng.normal(size=(300, 64)).astype(np.float32) * 0.05
+    descs[5][:200] = descs[0][100:300] + rng.normal(size=(200, 64)).astype(np.float32) * 0.05
+    pairs = [(0, 1), (0, 5), (1, 5), (2, 3), (3, 4), (1, 0), (5, 0)]
+    matcher = DescriptorMatcher(pad_step=256)
+    batched = matcher.match_pairs(
+        descs, np.asarray(pairs), max_ratio=0.8, cross_check=True, batch=3
+    )
+    for (i, j), (idx_b, ratio_b) in zip(pairs, batched):
+        idx_s, ratio_s = matcher.match(
+            descs[i], descs[j], max_ratio=0.8, cross_check=True
+        )
+        np.testing.assert_array_equal(idx_b, idx_s)
+        np.testing.assert_allclose(ratio_b, ratio_s, rtol=1e-6)
+    assert sum(len(r[0]) for r in batched) > 300
+
+
+def test_build_matches_device_precompute_matches_per_pair(tmp_path) -> None:
+    """build_matches(matcher='device') precomputes every pair in batched
+    dispatches; the resulting Matches must equal the per-pair device path."""
+    pytest.importorskip("cv2")
+    import PIL.Image
+    import scipy.ndimage
+
+    arr = np.asarray(Image(PATH).read())
+    if arr.ndim == 3:
+        arr = arr.mean(axis=2)
+    arr = arr[:256, :256]
+    paths = []
+    for k, shift in enumerate([(0, 0), (1.5, -2.0), (-2.5, 1.0)]):
+        moved = scipy.ndimage.shift(arr, shift, order=1, mode="nearest")
+        p = tmp_path / f"im{k}.png"
+        PIL.Image.fromarray(moved.astype(np.uint8)).save(p)
+        paths.append(p)
+    t0 = datetime.datetime(2020, 1, 1)
+    images = [
+        Image(p, cam={"imgsz": 256, "f": 300},
+              datetime=t0 + datetime.timedelta(hours=k))
+        for k, p in enumerate(paths)
+    ]
+    kw = dict(max_ratio=0.8, cross_check=True, max_distance=30.0)
+
+    def run():
+        km = optimize.KeypointMatcher(images=images)
+        km.build_keypoints(contrastThreshold=0.02)
+        km.build_matches(matcher="device", clear_keypoints=False, **kw)
+        return km
+
+    km = run()
+    assert km.matches.data.size == 3  # all unordered pairs of 3 images
+    for m, i, j in zip(km.matches.data, km.matches.row, km.matches.col):
+        uva, uvb = optimize.match_keypoints(
+            km.keypoints[i], km.keypoints[j], matcher="device", **kw
+        )
+        assert m.size == len(uva) and m.size > 20
+        np.testing.assert_allclose(m.uvs[0], uva)
+        np.testing.assert_allclose(m.uvs[1], uvb)

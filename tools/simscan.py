@@ -210,6 +210,25 @@ def main() -> int:
     print(f"\n{len(flagged)} functions flagged by same-name scan "
           f"(>= {args.threshold}), ~{total_flagged_lines} body lines total")
 
+    # Vendor-format correspondence functions whose content is dictated by a
+    # published spec (Brown/rational distortion polynomials, parameter
+    # mapping tables): similarity here is formula-constrained, per the
+    # round-2 adjudication. Reported separately, never suppressed.
+    formula_constrained = (
+        "convert/cameras.py::Matlab._xy_to_uv",
+        "convert/cameras.py::OpenCV._xy_to_uv",
+        "convert/cameras.py::Agisoft._xy_to_uv",
+        "convert/cameras.py::PhotoModeler._uv_to_xy",
+        "convert/cameras.py::Matlab._from_camera_initial",
+        "convert/cameras.py::OpenCV._from_camera_initial",
+        "convert/cameras.py::Agisoft._from_camera_initial",
+        "convert/cameras.py::PhotoModeler._from_camera_initial",
+        "convert/cameras.py::Matlab._to_camera_initial",
+        "convert/cameras.py::OpenCV._to_camera_initial",
+        "convert/cameras.py::Agisoft._to_camera_initial",
+        "convert/cameras.py::PhotoModeler._to_camera_initial",
+    )
+
     cross_flagged = []
     if not args.no_cross:
         repo_tok = [(loc, _canonical_tokens(b)) for loc, b in repo_funcs]
@@ -221,11 +240,21 @@ def main() -> int:
             repo_tok, ref_tok, threshold=args.cross_threshold
         )
         cross_flagged.sort(reverse=True)
+        constrained = [
+            f for f in cross_flagged
+            if any(f[2].endswith(name) for name in formula_constrained)
+        ]
+        cross_flagged = [f for f in cross_flagged if f not in constrained]
         print()
         for ratio, n, here, there in cross_flagged:
             print(f"{ratio:.2f}  {n:4d}T  {here}\n             <- {there}")
         print(f"{len(cross_flagged)} functions flagged by cross-name "
               f"canonical-token scan (>= {args.cross_threshold})")
+        if constrained:
+            print(f"[{len(constrained)} formula-constrained vendor-spec "
+                  "functions above threshold, adjudicated unavoidable:]")
+            for ratio, n, here, there in constrained:
+                print(f"  {ratio:.2f}  {here}")
     return 1 if (flagged or cross_flagged) else 0
 
 
