@@ -89,3 +89,49 @@ print("raw take_along_axis (N,P,7):         %8.2f ms" % bench(
     lambda x, i: jnp.take_along_axis(x, i[..., None], 1).sum(), pw7, idxs))
 print("raw cumsum (N,P):                    %8.2f ms" % bench(
     lambda v: jnp.cumsum(v[:, :P], -1).sum(), vals))
+
+
+# ---- Fused-kernel variant sweep (PROF_KERNEL=1) ---- #
+if os.environ.get("PROF_KERNEL"):
+    from glimpse_tpu.kernels.resample_pallas import systematic_resample_gather
+
+    w = np.exp(-(np.asarray(ll) - np.asarray(ll).min(-1, keepdims=True)))
+    t_tab = jnp.asarray(
+        P * np.cumsum(w / w.sum(-1, keepdims=True), -1)
+        - rng.random((N, 1)).astype(np.float32)
+    )
+    cols = [jnp.asarray(np.asarray(particles[..., k])) for k in range(6)]
+    cols.append(jnp.asarray(w))
+
+    def run(layout, window, chunk, pb):
+        def f(t, cs):
+            outs = systematic_resample_gather(
+                t, cs, window=window, chunk=chunk, layout=layout,
+                points_block=pb,
+            )
+            return sum(o.sum() for o in outs)
+        return bench(f, t_tab, cols, reps=5)
+
+    base = None
+    for layout, window, chunk, pb in [
+        ("mxu_rows", 256, 128, 8),    # production default
+        ("mxu_rows", 256, 128, 16),
+        ("mxu_rows", 256, 128, 32),
+        ("mxu_rows", 384, 256, 8),
+        ("mxu_rows", 512, 256, 8),
+        ("mxu_rows", 384, 256, 16),
+        ("mxu_rows", 512, 256, 16),
+        ("mxu_rows", 512, 256, 32),
+        ("mxu_rows", 512, 384, 16),
+        ("mxu_rows", 768, 384, 16),
+        ("direct", 256, 128, 8),
+    ]:
+        try:
+            t = run(layout, window, chunk, pb)
+        except Exception as e:  # Mosaic limits at some shapes
+            print(f"kernel {layout} W={window} C={chunk} G={pb}: FAILED {type(e).__name__}")
+            continue
+        if base is None:
+            base = t
+        print(f"kernel {layout} W={window} C={chunk} G={pb}: {t:8.2f} ms "
+              f"({base / t:.2f}x vs default)")

@@ -270,17 +270,19 @@ def _kernel_direct(P: int, P_real: int, W: int, K: int, C: int,
                 out_refs[k][c0 : c0 + C, :] += accs[k] * lane_hot
 
 
-def _kernel_mxu_rows(P: int, P_real: int, W: int, K: int, C: int,
+def _kernel_mxu_rows(P: int, P_real: int, W: int, K: int, C: int, G: int,
                      t_ref, tm1_ref, *refs):
     """Row-output MXU variant: no output revisiting, no lane-hot RMW.
 
     The direct-hit mask is built exactly as in :func:`_kernel_direct`, but
     the K channel selections run as ``cols (K, W) @ hit^T (W, C) -> (K, C)``
     on the MXU, so each chunk's results land as K static (1, C) row-slice
-    stores into this grid step's own (G_IN, P) output block. Compared to
+    stores into this grid step's own (G, P) output block. Compared to
     the lane-oriented kernels this removes: the one-hot lane mask and its
     (C, 128) read-modify-write per (chunk, column), the 16-step output
-    block revisit, and the final XLA transpose of the outputs.
+    block revisit, and the final XLA transpose of the outputs. ``G``
+    (points per grid step) is tunable — fewer grid steps amortize block
+    DMA setup; the per-point work is unchanged.
     """
     col_refs = refs[:K]
     out_refs = refs[K : K + K]
@@ -289,7 +291,7 @@ def _kernel_mxu_rows(P: int, P_real: int, W: int, K: int, C: int,
     iota_w = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
 
     thr = C * jax.lax.broadcasted_iota(jnp.int32, (nch, 1), 0)
-    for g in range(_G_IN):
+    for g in range(G):
         trow = t_ref[g : g + 1, :]
         thr_f = thr.astype(trow.dtype)
         s_scr[g * nch : (g + 1) * nch, 0:1] = jnp.sum(
@@ -303,7 +305,7 @@ def _kernel_mxu_rows(P: int, P_real: int, W: int, K: int, C: int,
 
     last_blk = (P - W) // 128
     wblk = W // 128
-    for g in range(_G_IN):
+    for g in range(G):
         for ci, c0 in enumerate(range(0, P, C)):
             jg_f = (
                 c0 + jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)
@@ -359,11 +361,12 @@ def _kernel_mxu_rows(P: int, P_real: int, W: int, K: int, C: int,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("window", "interpret", "chunk", "layout")
+    jax.jit,
+    static_argnames=("window", "interpret", "chunk", "layout", "points_block"),
 )
 def systematic_resample_gather(
     t, cols, window: int = 256, interpret: bool = False, chunk: int = _C,
-    layout: str = "mxu_rows",
+    layout: str = "mxu_rows", points_block: int = _G_IN,
 ):
     """Resample payload columns by systematic indices, in one fused pass.
 
@@ -376,6 +379,8 @@ def systematic_resample_gather(
         chunk: output-chunk height C (rounded to 128).
         layout: kernel variant — 'mxu_rows' (production), 'direct', or
             'lanes' (see module docstring). All three are bit-identical.
+        points_block: points per grid step ('mxu_rows' only — the
+            lane-oriented layouts are tied to the 8x128 block geometry).
 
     Returns a list of (N, P) columns with
     ``out[k][n, j] = cols[k][n, idx[n, j]]`` where
@@ -386,7 +391,8 @@ def systematic_resample_gather(
     N, P = t.shape
     K = len(cols)
     C = max(128, -(-chunk // 128) * 128)
-    Np = -(-N // _G_OUT) * _G_OUT
+    G = max(8, -(-points_block // 8) * 8)
+    Np = -(-N // max(_G_OUT, G)) * max(_G_OUT, G)
     Pp = -(-P // C) * C
     if Np != N or Pp != P:
         # Point padding: +inf thresholds (count 0 -> idx 0), harmless rows
@@ -406,17 +412,18 @@ def systematic_resample_gather(
         # output index) in front. Built once on the XLA side so both
         # windows load at the same lane-aligned offsets in the kernel.
         tm1 = jnp.pad(t[:, :-1], ((0, 0), (1, 0)), constant_values=-1.0)
-        kern = functools.partial(_kernel_mxu_rows, Pp, P, W, K, C)
+        g_spec = pl.BlockSpec((G, Pp), lambda i: (i, 0))
+        kern = functools.partial(_kernel_mxu_rows, Pp, P, W, K, C, G)
         outs = pl.pallas_call(
             kern,
-            grid=(Np // _G_IN,),
-            in_specs=[row_spec] * (2 + K),
-            out_specs=[row_spec] * K,
+            grid=(Np // G,),
+            in_specs=[g_spec] * (2 + K),
+            out_specs=[g_spec] * K,
             out_shape=[
                 jax.ShapeDtypeStruct((Np, Pp), c.dtype) for c in cols
             ],
             scratch_shapes=[
-                pltpu.VMEM((_G_IN * (Pp // C), 1), jnp.int32)
+                pltpu.VMEM((G * (Pp // C), 1), jnp.int32)
             ] * 2,
             interpret=interpret,
         )(t, tm1, *cols)

@@ -335,6 +335,8 @@ class BatchConfig:
     resample_window: int = 256
     resample_chunk: int = 128
     resample_layout: str = "mxu_rows"
+    # Points per kernel grid step ('mxu_rows' layout only).
+    resample_points_block: int = 8
     # Whether step outputs include full 6x6 weighted covariances.
     return_covariances: bool = False
     # Effective-sample-size-triggered resampling: None resamples every step
@@ -379,6 +381,11 @@ class BatchConfig:
             raise ValueError(
                 f"resample_layout must be one of mxu_rows|direct|lanes,"
                 f" got {self.resample_layout!r}"
+            )
+        if self.resample_points_block < 8 or self.resample_points_block % 8:
+            raise ValueError(
+                f"resample_points_block must be a positive multiple of 8,"
+                f" got {self.resample_points_block!r}"
             )
         if self.resample_mode not in ("auto", "xla", "pallas"):
             raise ValueError(
@@ -440,7 +447,7 @@ def _gather_rows(particles, weights, idx):
 
 
 def _fused_resample(particles, weights, u, mesh=None, window=256, chunk=128,
-                    layout="mxu_rows"):
+                    layout="mxu_rows", points_block=8):
     """Systematic resample via the fused Pallas kernel (no gather engine).
 
     ``u``: (N, 1) comb offsets. Returns (particles, weights) resampled —
@@ -462,6 +469,7 @@ def _fused_resample(particles, weights, u, mesh=None, window=256, chunk=128,
     kernel = functools.partial(
         systematic_resample_gather, interpret=interpret,
         window=window, chunk=chunk, layout=layout,
+        points_block=points_block,
     )
     if mesh is not None:
         from jax.experimental.shard_map import shard_map
@@ -1034,6 +1042,7 @@ class BatchTracker:
                 particles, weights, u, mesh=self.mesh,
                 window=cfg.resample_window, chunk=cfg.resample_chunk,
                 layout=cfg.resample_layout,
+                points_block=cfg.resample_points_block,
             )
         else:
             idx = resampling.resample_jax(

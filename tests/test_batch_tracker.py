@@ -181,6 +181,13 @@ def test_fused_resample_kernel_exact() -> None:
             np.asarray(cols16[k]).astype(np.float32), idx, 1
         )
         assert (np.asarray(out16[k]).astype(np.float32) == want).all()
+    # The tunable points-per-grid-step block sizes are bit-identical.
+    for pb in (16, 32):
+        outg = systematic_resample_gather(
+            t, cols, interpret=True, points_block=pb
+        )
+        for k in range(K):
+            assert (np.asarray(outg[k]) == np.asarray(out[k])).all(), pb
 
 
 def test_batch_tracker_pallas_resample_ess_threshold() -> None:
