@@ -924,12 +924,27 @@ class Cameras:
             writes.append((j, np.flatnonzero(mask), span))
         writes = [w for w in writes if len(w[1])]
 
+        # Controls may reference cameras that are NOT being fit (e.g. a
+        # Matches pair anchored to a fixed camera — the reference evaluates
+        # residuals against the live camera objects, so non-fit cameras act
+        # as constants). Such cameras get rows appended after the fit
+        # cameras; `writes` never touches those rows, so they contribute
+        # values but no derivatives.
         cam_row = {id(cam): i for i, cam in enumerate(self.cams)}
+        fixed_cams: List[Camera] = []
+
+        def row_of(cam):
+            key = id(cam)
+            if key not in cam_row:
+                cam_row[key] = len(self.cams) + len(fixed_cams)
+                fixed_cams.append(cam)
+            return cam_row[key]
+
         terms = []
         for control in self.controls:
             if isinstance(control, RotationMatchesXY):
-                j0 = cam_row[id(control.cams[0])]
-                j1 = cam_row[id(control.cams[1])]
+                j0 = row_of(control.cams[0])
+                j1 = row_of(control.cams[1])
                 xy0 = jnp.asarray(control.xys[0])
                 xy1 = jnp.asarray(control.xys[1])
 
@@ -946,8 +961,8 @@ class Cameras:
                     return pred - xy0
 
             elif isinstance(control, RotationMatches):
-                j0 = cam_row[id(control.cams[0])]
-                j1 = cam_row[id(control.cams[1])]
+                j0 = row_of(control.cams[0])
+                j1 = row_of(control.cams[1])
                 uv0 = jnp.asarray(control.uvs[0])
                 xy1 = jnp.asarray(control.xys[1])
 
@@ -962,8 +977,8 @@ class Cameras:
                     return pred - uv0
 
             elif isinstance(control, Matches):
-                j0 = cam_row[id(control.cams[0])]
-                j1 = cam_row[id(control.cams[1])]
+                j0 = row_of(control.cams[0])
+                j1 = row_of(control.cams[1])
                 uv0 = jnp.asarray(control.uvs[0])
                 uv1 = jnp.asarray(control.uvs[1])
 
@@ -977,7 +992,7 @@ class Cameras:
                     return pred - uv0
 
             else:  # Points (absolute or directions)
-                j = cam_row[id(control.cam)]
+                j = row_of(control.cam)
                 xyz = jnp.asarray(control.xyz)
                 uv = jnp.asarray(control.uv)
                 directions = control.directions
@@ -1008,7 +1023,7 @@ class Cameras:
             # (the host fun applies the same nan_to_num).
             return jnp.where(jnp.isnan(r), 0.0, r)
 
-        return residual_array
+        return residual_array, fixed_cams
 
     def _autodiff_jac(self, index: Index = slice(None)):
         """scipy-compatible callable returning the exact (m, n) Jacobian.
@@ -1031,7 +1046,7 @@ class Cameras:
             cache = self._jac_cache = {"token": token, "fns": {}}
         key = "full" if full else int(rows.size)
         if key not in cache["fns"]:
-            residual_array = self._build_autodiff_residual()
+            residual_array, fixed_cams = self._build_autodiff_residual()
 
             if full:
                 def flat(params, base):
@@ -1041,13 +1056,20 @@ class Cameras:
                     return residual_array(params, base)[subset].ravel()
 
             cache["fns"][key] = jax.jit(jax.jacfwd(flat))
+            cache["fixed_cams"] = fixed_cams
         jac_fn = cache["fns"][key]
+        fixed_cams = cache["fixed_cams"]
 
         def jac(x, *args):
             # Residuals restore the live camera vectors after every call,
-            # so to_array() here is the fit-start (non-free) state.
+            # so to_array() here is the fit-start (non-free) state. Cameras
+            # referenced by controls but not fit ride along as constant
+            # rows (live values — matching the host residual path).
             base = jnp.asarray(
-                np.stack([cam.to_array() for cam in self.cams]),
+                np.stack(
+                    [cam.to_array() for cam in self.cams]
+                    + [cam.to_array() for cam in fixed_cams]
+                ),
                 dtype=jnp.float32,
             )
             x32 = jnp.asarray(x, dtype=jnp.float32)

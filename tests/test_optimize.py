@@ -441,6 +441,38 @@ def test_exact_jacobian_through_matches_undistortion() -> None:
     assert np.allclose(J, J_fd, rtol=1e-2, atol=1e-3), np.abs(J - J_fd).max()
 
 
+def test_exact_jacobian_with_fixed_anchor_camera() -> None:
+    """A Matches control may reference a camera that is NOT being fit (the
+    RANSAC viewdir fit anchors matches to a fixed camera): the fixed camera
+    rides along as a constant row and the Jacobian matches finite
+    differences on the free camera's parameters."""
+    rng = np.random.default_rng(7)
+    anchor = Camera(imgsz=(200, 150), f=180.0, viewdir=(0, 0, 0))
+    cam = Camera(imgsz=(200, 150), f=180.0, viewdir=(2, 1, 0))
+    uv_a = np.column_stack(
+        [rng.uniform(20, 180, 30), rng.uniform(20, 130, 30)]
+    )
+    uv_b = cam.xyz_to_uv(anchor.uv_to_xyz(uv_a), directions=True)
+    matches = optimize.Matches(cams=[cam, anchor], uvs=[uv_b, uv_a])
+    model = optimize.Cameras(
+        cams=[cam], controls=[matches], cam_params=[{"viewdir": True}]
+    )
+    jac = model._autodiff_jac()
+    x0 = model.values.copy()
+    J = jac(x0)
+    eps = 1e-6
+    J_fd = np.empty_like(J)
+    for col in range(len(x0)):
+        hi, lo = x0.copy(), x0.copy()
+        hi[col] += eps
+        lo[col] -= eps
+        J_fd[:, col] = (
+            np.nan_to_num(model.residuals(params=hi).ravel())
+            - np.nan_to_num(model.residuals(params=lo).ravel())
+        ) / (2 * eps)
+    assert np.allclose(J, J_fd, rtol=1e-3, atol=1e-3), np.abs(J - J_fd).max()
+
+
 def test_exact_jacobian_converges_with_fewer_evaluations() -> None:
     """Same optimum as finite differences with >= 5x fewer residual
     evaluations (VERDICT round-2 acceptance for the autodiff rebuild)."""
