@@ -157,10 +157,20 @@ def stabilize(renderer, true_viewdirs, workdir: str):
     model = optimize.ObserverCameras(_Seq(images), anchors=[0])
     mask = renderer.terrain_mask()
     t_det = time.perf_counter()
-    model.build_keypoints(
-        masks=[mask] * len(images), contrastThreshold=0.02, clear_images=True,
-        parallel=True,
-    )
+    detector = os.environ.get("PIPELINE_DETECTOR", "device")
+    if detector == "device":
+        # TPU DoG detector: the host has ONE core, so the reference's
+        # process fan-out (optimize.py:2442-2445) cannot help here —
+        # detection itself moves onto the device.
+        model.build_keypoints(
+            masks=[mask] * len(images), clear_images=True, detector="device",
+            nfeatures=int(os.environ.get("PIPELINE_NFEATURES", "2048")),
+        )
+    else:
+        model.build_keypoints(
+            masks=[mask] * len(images), contrastThreshold=0.02,
+            clear_images=True, parallel=True,
+        )
     timings["detect_s"] = round(time.perf_counter() - t_det, 1)
     t_match = time.perf_counter()
     model.build_matches(

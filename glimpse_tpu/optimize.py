@@ -1468,6 +1468,35 @@ def detect_keypoints(array, mask=None, method=None, root: bool = False, **kwargs
     return keypoints, descriptors
 
 
+# cv2.SIFT_create kwarg names accepted by the device detector for drop-in
+# compatibility (values are translated, not emulated exactly).
+_DEVICE_DETECTOR_KWARGS = {
+    "contrastThreshold": "contrast_threshold",
+    "edgeThreshold": "edge_ratio",
+    "sigma": "sigma0",
+    "nOctaveLayers": "n_scales",
+}
+
+
+def detect_keypoints_device(arrays, masks=None, **kwargs):
+    """Batched keypoint detection on the device (TPU DoG detector).
+
+    Replaces per-image host SIFT (reference ``optimize.py:2442-2445`` fans
+    it over processes; this host has one core) with
+    :func:`glimpse_tpu.ops.features.detect_and_describe` — scale space,
+    extrema, subpixel and descriptors all as dense device ops. Accepts
+    common ``cv2.SIFT_create`` kwarg spellings.
+
+    Returns a list of ``(pts (n, 2), descriptors (n, 128))`` per image.
+    """
+    from .ops import features
+
+    for cv2_name, ours in _DEVICE_DETECTOR_KWARGS.items():
+        if cv2_name in kwargs:
+            kwargs[ours] = kwargs.pop(cv2_name)
+    return features.detect_and_describe(arrays, masks=masks, **kwargs)
+
+
 def match_keypoints_device(
     ka,
     kb,
@@ -1514,7 +1543,10 @@ _KEYPOINT_PTS_CACHE: Dict[int, tuple] = {}
 
 def _keypoint_pts(keypoints) -> np.ndarray:
     """(n, 2) coordinate array for a cv2.KeyPoint list, identity-cached
-    (each image's keypoints are reused across all its sequence pairs)."""
+    (each image's keypoints are reused across all its sequence pairs).
+    Device-detected keypoints are already coordinate arrays."""
+    if isinstance(keypoints, np.ndarray):
+        return keypoints
     key = id(keypoints)
     hit = _KEYPOINT_PTS_CACHE.get(key)
     if hit is not None and hit[0] is keypoints:
@@ -1589,8 +1621,8 @@ def match_keypoints(
         matches = [m for m in matches if m[0].distance / m[1].distance < max_ratio]
     if not matches:
         return empty()
-    uva = np.asarray([ka[0][m[0].queryIdx].pt for m in matches])
-    uvb = np.asarray([kb[0][m[0].trainIdx].pt for m in matches])
+    uva = _keypoint_pts(ka[0])[[m[0].queryIdx for m in matches]]
+    uvb = _keypoint_pts(kb[0])[[m[0].trainIdx for m in matches]]
     if return_ratios:
         ratios = np.array([m.distance / n_.distance for m, n_ in matches])
     if max_distance:
@@ -1649,9 +1681,15 @@ class KeypointMatcher:
         clear_images: bool = True,
         clear_keypoints: bool = False,
         parallel=False,
+        detector=None,
         **kwargs: Any,
     ) -> None:
-        """Detect (or load cached) keypoints for every image."""
+        """Detect (or load cached) keypoints for every image.
+
+        ``detector='device'`` batches detection through the TPU DoG
+        detector (:func:`detect_keypoints_device`) instead of per-image
+        host SIFT; all cache semantics are shared.
+        """
         if path:
             path = Path(path)
         if clear_keypoints and not path:
@@ -1664,6 +1702,13 @@ class KeypointMatcher:
         parallel = helpers._parse_parallel(parallel)
         if not self.keypoints:
             self.keypoints = [None] * len(self.images)
+        if detector == "device":
+            self._build_keypoints_device(
+                masks, path, basenames, overwrite=overwrite,
+                clear_images=clear_images, clear_keypoints=clear_keypoints,
+                **kwargs,
+            )
+            return
 
         def detect(i: int, img: Image):
             array = self._prepare_image(img.read())
@@ -1691,6 +1736,51 @@ class KeypointMatcher:
             self.keypoints = pool.map(
                 func=job, sequence=tuple(enumerate(self.images)), star=True
             )
+
+    def _build_keypoints_device(
+        self,
+        masks,
+        path,
+        basenames,
+        overwrite: bool,
+        clear_images: bool,
+        clear_keypoints: bool,
+        **kwargs: Any,
+    ) -> None:
+        """Batched device detection with the same cache contract as the
+        host path: compute only what is neither in memory nor on disk."""
+        cache_files = [
+            path / f"{basenames[i]}.pkl" if path else None
+            for i in range(len(self.images))
+        ]
+        todo = []
+        for i in range(len(self.images)):
+            on_disk = cache_files[i] is not None and cache_files[i].exists()
+            if overwrite or (self.keypoints[i] is None and not on_disk):
+                todo.append(i)
+            elif self.keypoints[i] is not None:
+                if cache_files[i] and not on_disk:
+                    helpers.write_pickle(self.keypoints[i], path=cache_files[i])
+            elif not clear_keypoints:
+                self.keypoints[i] = helpers.read_pickle(cache_files[i])
+        # Group by image shape so each batch compiles one program.
+        arrays = {}
+        for i in todo:
+            arrays[i] = self._prepare_image(self.images[i].read())
+            if clear_images:
+                self.images[i].array = None
+        by_shape: Dict[tuple, list] = {}
+        for i in todo:
+            by_shape.setdefault(arrays[i].shape, []).append(i)
+        for idxs in by_shape.values():
+            found = detect_keypoints_device(
+                [arrays[i] for i in idxs], masks=[masks[i] for i in idxs],
+                **kwargs,
+            )
+            for i, kp in zip(idxs, found):
+                if cache_files[i]:
+                    helpers.write_pickle(kp, path=cache_files[i])
+                self.keypoints[i] = None if clear_keypoints else kp
 
     def build_matches(
         self,
