@@ -169,13 +169,47 @@ def _octave_detect(
     score = jnp.where(in_border, score, 0.0)
     if mask is not None:
         score = score * mask[:, None]
-    # Dense subpixel offsets: 2x2 Newton step -H^-1 grad on the spatial
-    # quadratic (the cross term matters — a diagonal-only fit biases
-    # diagonal-offset extrema by several tenths of a pixel).
-    det_h = dxx * dyy - dxy * dxy
-    safe = jnp.where(jnp.abs(det_h) > 1e-12, det_h, 1e-12)
-    off_x = jnp.clip(-(dyy * dx - dxy * dy) / safe, -0.6, 0.6)
-    off_y = jnp.clip(-(dxx * dy - dxy * dx) / safe, -0.6, 0.6)
+    # Dense subpixel offsets: FULL 3x3 (x, y, scale) Newton step
+    # -H^-1 grad, exactly SIFT's quadratic fit but computed densely.
+    # The scale axis is load-bearing: under small anisotropic scale
+    # changes (pitch-induced foreshortening between frames) the extremum
+    # drifts along scale, and a spatial-only fit converts that drift
+    # into a coherent position bias across the whole frame — which a
+    # rotation fit then reads as apparent roll (measured ~2e-3 deg; the
+    # 3D solve is what brings it to SIFT's level).
+    up, down = dog[:, 2:], dog[:, :-2]
+
+    def _dx_of(a):
+        return 0.5 * (_shift(a, 0, -1) - _shift(a, 0, 1))
+
+    def _dy_of(a):
+        return 0.5 * (_shift(a, -1, 0) - _shift(a, 1, 0))
+
+    ds = 0.5 * (up - down)
+    dss = up + down - 2 * center
+    dxs = 0.5 * (_dx_of(up) - _dx_of(down))
+    dys = 0.5 * (_dy_of(up) - _dy_of(down))
+
+    def _newton3(gr, hs):
+        """-H^-1 g for the symmetric 3x3 (x, y, s) system, clipped."""
+        (gdx, gdy, gds) = gr
+        (hxx, hyy, hss, hxy, hxs, hys) = hs
+        a11 = hyy * hss - hys * hys
+        a12 = hxs * hys - hxy * hss
+        a13 = hxy * hys - hyy * hxs
+        a22 = hxx * hss - hxs * hxs
+        a23 = hxy * hxs - hxx * hys
+        a33 = hxx * hyy - hxy * hxy
+        det3 = hxx * a11 + hxy * a12 + hxs * a13
+        safe = jnp.where(jnp.abs(det3) > 1e-12, det3, 1e-12)
+        ox = jnp.clip(-(a11 * gdx + a12 * gdy + a13 * gds) / safe, -0.6, 0.6)
+        oy = jnp.clip(-(a12 * gdx + a22 * gdy + a23 * gds) / safe, -0.6, 0.6)
+        os_ = jnp.clip(-(a13 * gdx + a23 * gdy + a33 * gds) / safe, -0.6, 0.6)
+        return ox, oy, os_
+
+    off_x, off_y, _ = _newton3(
+        (dx, dy, ds), (dxx, dyy, dss, dxy, dxs, dys)
+    )
 
     flat = score.reshape(B, -1)
     top_scores, top_idx = jax.lax.top_k(flat, quota)  # (B, quota)
@@ -185,33 +219,33 @@ def _octave_detect(
     iy = rem // W
     ix = rem - iy * W
     # Sample the dense offset maps at the winners (fused channel gather:
-    # off_x / off_y / nothing else — 2 channels ride one row gather).
+    # both offsets ride one row gather).
     off = jnp.stack([off_x, off_y], axis=-1).reshape(B, -1, 2)
     off_sel = jnp.take_along_axis(off, top_idx[..., None], axis=1)
     fx = ix + off_sel[..., 0]
     fy = iy + off_sel[..., 1]
-    # Second Newton iteration with derivatives RESAMPLED at the refined
-    # location: the DoG is not a quadratic, so the one-step fit carries a
-    # texture-phase-dependent bias (~5e-3 px) that does NOT average out
-    # across a stabilization chain. Bilinear resampling of the five dense
-    # derivative maps at (fy, fx) and one more -H^-1 grad step removes it.
-    deriv = jnp.stack([dx, dy, dxx, dyy, dxy], axis=-1)  # (B, S, H, W, 5)
-    dflat = deriv.reshape(B, n_scales * H * W, 5)
-    # The level stack is addressed as one tall (S*H, W) image; the inner
-    # y-clip keeps the bilinear support inside the keypoint's own level.
-    d5 = jax.vmap(
+    # Second Newton iteration with the nine derivative maps RESAMPLED at
+    # the refined location: the DoG is not a quadratic, so the one-step
+    # fit retains a texture-phase-dependent bias that does not average
+    # out across a stabilization chain. The level stack is addressed as
+    # one tall (S*H, W) image; the inner y-clip keeps the bilinear
+    # support inside the keypoint's own level.
+    deriv = jnp.stack(
+        [dx, dy, ds, dxx, dyy, dss, dxy, dxs, dys], axis=-1
+    )  # (B, S, H, W, 9)
+    dflat = deriv.reshape(B, n_scales * H * W, 9)
+    d9 = jax.vmap(
         lambda df, lv, yy2, xx2: _fused_bilinear_rows(
             df, W, n_scales * H, lv * H + jnp.clip(yy2, 1.0, H - 2.0),
             jnp.clip(xx2, 1.0, W - 2.0),
         )
-    )(dflat, lvl.astype(jnp.float32), fy, fx)  # (B, quota, 5)
-    rdx, rdy, rdxx, rdyy, rdxy = [d5[..., i] for i in range(5)]
-    rdet = rdxx * rdyy - rdxy * rdxy
-    rsafe = jnp.where(jnp.abs(rdet) > 1e-12, rdet, 1e-12)
-    step_x = jnp.clip(-(rdyy * rdx - rdxy * rdy) / rsafe, -0.5, 0.5)
-    step_y = jnp.clip(-(rdxx * rdy - rdxy * rdx) / rsafe, -0.5, 0.5)
-    fx = fx + step_x
-    fy = fy + step_y
+    )(dflat, lvl.astype(jnp.float32), fy, fx)  # (B, quota, 9)
+    step_x, step_y, _ = _newton3(
+        tuple(d9[..., i] for i in range(3)),
+        tuple(d9[..., i] for i in range(3, 9)),
+    )
+    fx = fx + jnp.clip(step_x, -0.5, 0.5)
+    fy = fy + jnp.clip(step_y, -0.5, 0.5)
 
     # ---- Descriptors: blurred orientation-bin maps per center level ----
     k_geo = 2.0 ** (1.0 / n_scales)

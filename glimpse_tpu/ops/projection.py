@@ -76,6 +76,20 @@ def rotation_matrix(viewdir, xp=np):
     return xp.stack([row0, row1, row2], axis=-2)
 
 
+def viewdir_from_rotation(R, xp=np):
+    """(yaw, pitch, roll) in degrees from a :func:`rotation_matrix` output.
+
+    Exact inverse for pitch in (-90, 90): the matrix entries give
+    ``R[2] = (c1 s0, c0 c1, s1)`` and ``(R[0,2], R[1,2]) = (-c1 s2,
+    -c1 c2)``, so yaw/roll follow from atan2 and pitch from asin.
+    Supports batched (..., 3, 3) input.
+    """
+    pitch = xp.arcsin(xp.clip(R[..., 2, 2], -1.0, 1.0))
+    yaw = xp.arctan2(R[..., 2, 0], R[..., 2, 1])
+    roll = xp.arctan2(-R[..., 0, 2], -R[..., 1, 2])
+    return xp.stack([yaw, pitch, roll], axis=-1) * (180.0 / math.pi)
+
+
 def rotation_matrix_gradient(viewdir, xp=np):
     """Derivative of :func:`rotation_matrix` w.r.t. viewdir, shape (3, 3, 3).
 

@@ -1323,9 +1323,74 @@ class ObserverCameras:
             np.concatenate(ia), np.concatenate(ib),
         )
 
+    def initialize(self, min_matches: int = 8) -> np.ndarray:
+        """Closed-form viewdir initialization by chaining pairwise rotations.
+
+        For every consecutive image pair with matches, the relative
+        rotation is the orthogonal-Procrustes optimum over the matched
+        unit rays (one 3x3 SVD per pair); composing them outward from the
+        first anchor gives a starting point already within the per-frame
+        match noise. Without it, BFGS on the L1 ray objective must drag
+        every frame from the nominal direction individually — measured at
+        1,000 frames this is the difference between a ~1 minute fit and a
+        ~45 minute crawl to a worse optimum (validation.md).
+
+        Returns the (n_images, 3) viewdir array (does not mutate state).
+        """
+        from .ops import projection as proj
+
+        matches = self.matches
+        if not scipy.sparse.issparse(matches):
+            matches = scipy.sparse.coo_matrix(matches)
+        pair_map = {}
+        for m, i, j in zip(matches.data, matches.row, matches.col):
+            if m.size >= min_matches:
+                pair_map[(int(i), int(j))] = m
+
+        def unit(v):
+            v = np.column_stack([v, np.ones(len(v))])
+            return v / np.linalg.norm(v, axis=1, keepdims=True)
+
+        def relative(m, R_known, forward: bool):
+            """Rotation of the unknown frame given the known frame's R."""
+            va, vb = unit(m.xys[0]), unit(m.xys[1])
+            if not forward:  # unknown is the FIRST image of the pair
+                va, vb = vb, va
+            M3 = vb.T @ (va @ R_known)
+            U, _, Vt = np.linalg.svd(M3)
+            d = np.sign(np.linalg.det(U @ Vt))
+            return U @ np.diag([1.0, 1.0, d]) @ Vt
+
+        n = len(self.viewdirs)
+        out = self.viewdirs.copy()
+        a0 = self.anchors[0] if self.anchors else 0
+        R = proj.rotation_matrix(out[a0], xp=np)
+        known = {a0: R}
+        for i in range(a0 + 1, n):
+            m = pair_map.get((i - 1, i))
+            if m is not None:
+                known[i] = relative(m, known[i - 1], forward=True)
+            else:
+                known[i] = known[i - 1]
+            out[i] = proj.viewdir_from_rotation(known[i], xp=np)
+        for i in range(a0 - 1, -1, -1):
+            m = pair_map.get((i, i + 1))
+            if m is not None:
+                known[i] = relative(m, known[i + 1], forward=False)
+            else:
+                known[i] = known[i + 1]
+            out[i] = proj.viewdir_from_rotation(known[i], xp=np)
+        return out
+
     def fit(self, anchor_weight: Number = 1e6, method: str = "bfgs",
-            tol: float = None, **kwargs: Any):
-        """Optimal view directions via BFGS on the device-fused objective."""
+            tol: float = None, init: str = "chain", **kwargs: Any):
+        """Optimal view directions via BFGS on the device-fused objective.
+
+        ``init='chain'`` starts from :meth:`initialize` (chained
+        closed-form pairwise rotations); ``init='current'`` reproduces the
+        reference behavior of starting at the images' current viewdirs
+        (reference optimize.py:2075-2083).
+        """
         import jax
         import jax.numpy as jnp
 
@@ -1371,8 +1436,12 @@ class ObserverCameras:
             v, g = value_and_grad(jnp.asarray(x))
             return float(v), np.asarray(g, dtype=float)
 
+        x0 = (
+            self.initialize().ravel() if init == "chain"
+            else self.viewdirs.ravel()
+        )
         result = scipy.optimize.minimize(
-            fun=fun, x0=self.viewdirs.ravel(), jac=True, method=method, tol=tol,
+            fun=fun, x0=x0, jac=True, method=method, tol=tol,
             **kwargs,
         )
         self.reset_cameras()

@@ -603,3 +603,71 @@ def test_build_matches_device_precompute_matches_per_pair(tmp_path) -> None:
         assert m.size == len(uva) and m.size > 20
         np.testing.assert_allclose(m.uvs[0], uva)
         np.testing.assert_allclose(m.uvs[1], uvb)
+
+
+def test_viewdir_from_rotation_round_trip():
+    from glimpse_tpu.ops import projection as proj
+
+    rng = np.random.default_rng(3)
+    vds = rng.uniform(-1, 1, (20, 3)) * np.array([180, 80, 180])
+    R = proj.rotation_matrix(vds, xp=np)
+    back = proj.viewdir_from_rotation(R, xp=np)
+    R2 = proj.rotation_matrix(back, xp=np)
+    np.testing.assert_allclose(R, R2, atol=1e-12)
+
+
+def test_observer_cameras_chain_initialize():
+    """Chained Procrustes init recovers synthetic viewdirs exactly.
+
+    The initializer is what makes ObserverCameras.fit converge at
+    1,000-frame scale (validation.md): verify the closed-form chain is
+    exact on noiseless matches, including frames BEFORE the anchor.
+    """
+    import scipy.sparse
+
+    from glimpse_tpu import optimize
+    from glimpse_tpu.ops import projection as proj
+
+    rng = np.random.default_rng(11)
+    T = 7
+    anchor = 3
+    vds = np.tile(np.array([5.0, -35.0, 1.0]), (T, 1))
+    vds[np.arange(T) != anchor] += rng.normal(0, 0.1, (T - 1, 3))
+    Rs = [proj.rotation_matrix(v, xp=np) for v in vds]
+
+    class _M:
+        def __init__(self, xa, xb):
+            self.xys = (xa, xb)
+            self.size = len(xa)
+
+    data, rows, cols = [], [], []
+    for i in range(T - 1):
+        xy_a = rng.uniform(-0.4, 0.4, (40, 2))
+        va = np.column_stack([xy_a, np.ones(40)])
+        cb = (va @ Rs[i]) @ Rs[i + 1].T
+        data.append(_M(xy_a, cb[:, :2] / cb[:, 2:3]))
+        rows.append(i)
+        cols.append(i + 1)
+
+    class _Img:
+        def __init__(self, v):
+            self.cam = type("C", (), {})()
+            self.cam.viewdir = v.copy()
+
+    class _Obs:
+        pass
+
+    obs = _Obs()
+    # Only the anchor image knows its true direction.
+    obs.images = [
+        _Img(vds[i] if i == anchor else np.array([5.0, -35.0, 1.0]))
+        for i in range(T)
+    ]
+    oc = optimize.ObserverCameras(obs, anchors=[anchor])
+    coo = scipy.sparse.coo_matrix(
+        (np.arange(len(data), dtype=float), (rows, cols)), shape=(T, T)
+    )
+    coo.data = np.asarray(data, dtype=object)
+    oc.matches = coo
+    out = oc.initialize()
+    np.testing.assert_allclose(out, vds, atol=1e-8)
