@@ -23,11 +23,16 @@ Env: PIPELINE_POINTS (10240), PIPELINE_PARTICLES (512),
      PIPELINE_FRAMES (1000), PIPELINE_PLATFORM (default: leave TPU).
 """
 import datetime
+import faulthandler
 import json
 import os
 import sys
 import tempfile
 import time
+
+# Long unattended runs through the remote-TPU tunnel: dump all stacks
+# every 10 minutes so a stalled stage is diagnosable from the log.
+faulthandler.dump_traceback_later(600, repeat=True)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -149,6 +154,7 @@ def stabilize(renderer, true_viewdirs, workdir: str):
         )
         images.append(img)
     timings["render_s"] = round(time.perf_counter() - t_start, 1)
+    print(f"[stage] render done {timings['render_s']}s", file=sys.stderr, flush=True)
 
     class _Seq:
         def __init__(self, images):
@@ -172,16 +178,19 @@ def stabilize(renderer, true_viewdirs, workdir: str):
             clear_images=True, parallel=True,
         )
     timings["detect_s"] = round(time.perf_counter() - t_det, 1)
+    print(f"[stage] detect done {timings['detect_s']}s", file=sys.stderr, flush=True)
     t_match = time.perf_counter()
     model.build_matches(
         seq=(1, 8, 64), max_ratio=0.75, max_distance=20.0,
         matcher=os.environ.get("PIPELINE_MATCHER", "device"),
     )
     timings["match_s"] = round(time.perf_counter() - t_match, 1)
+    print(f"[stage] match done {timings['match_s']}s", file=sys.stderr, flush=True)
     n_pairs = int(sum(m.size for m in model.matches.data))
     t_fit = time.perf_counter()
     result = model.fit()
     timings["fit_s"] = round(time.perf_counter() - t_fit, 1)
+    print(f"[stage] fit done {timings['fit_s']}s", file=sys.stderr, flush=True)
     return result.x.reshape(-1, 3), n_pairs, timings
 
 

@@ -1382,68 +1382,170 @@ class ObserverCameras:
             out[i] = proj.viewdir_from_rotation(known[i], xp=np)
         return out
 
-    def fit(self, anchor_weight: Number = 1e6, method: str = "bfgs",
-            tol: float = None, init: str = "chain", **kwargs: Any):
-        """Optimal view directions via BFGS on the device-fused objective.
+    def fit(self, anchor_weight: Number = 1e6, method: str = "newton-cg",
+            tol: float = None, init: str = "chain", smooth: float = 1e-5,
+            **kwargs: Any):
+        """Optimal view directions on the device-fused ray objective.
 
         ``init='chain'`` starts from :meth:`initialize` (chained
         closed-form pairwise rotations); ``init='current'`` reproduces the
         reference behavior of starting at the images' current viewdirs
-        (reference optimize.py:2075-2083).
+        (reference optimize.py:2075-2083). ``anchor_weight`` is accepted
+        for API parity but anchors are held EXACTLY fixed here: the
+        reference's 1e6 soft penalty is what the constraint approximates,
+        and it puts ~1e10 on the Hessian's condition number, which turns
+        every curvature-aware optimizer into a device-round-trip crawl.
+
+        The objective is a smoothed L1 (``sqrt(r^2 + smooth^2)``);
+        ``smooth`` only reweights residuals below ~1e-5 rad (the match
+        noise floor). Matches are scanned in fixed ``chunk_size`` blocks
+        so the compiled graph is one chunk body regardless of match
+        count. ``method='newton-cg'`` (default) is truncated Newton with
+        device Hessian-vector products (``jax.jvp`` of the gradient):
+        dense BFGS needs O(n_params) iterations to recover curvature in
+        3T dimensions — at 1,000 frames that is thousands of device
+        round trips to a still-unconverged optimum — while Newton-CG
+        converges in tens of outer iterations. ``method='l-bfgs-b'``
+        (gradient-driven stop defaults) is the cheaper quasi-Newton
+        fallback; ``method='bfgs', smooth=0, init='current'`` is the
+        reference's exact-L1 BFGS (reference optimize.py:2075-2083).
         """
         import jax
         import jax.numpy as jnp
 
         from .ops import projection as proj
 
-        xa, xb, ia, ib = self._flatten_matches()
-        xa = jnp.asarray(xa)
-        xb = jnp.asarray(xb)
-        ia = jnp.asarray(ia)
-        ib = jnp.asarray(ib)
-        anchors = jnp.asarray(self.anchors, dtype=jnp.int32)
+        # Pack matches into PER-PAIR blocks padded to a common width K:
+        # every image pair's matches share one (i, j), so the rotation
+        # expansion becomes a (P, 3, 3) pair-indexed gather feeding
+        # batched (P, K, 3) @ (P, 3, 3) einsums — MXU work. The previous
+        # per-match formulation needed eighteen (M,)-element scalar
+        # gathers per evaluation, and TPU scalar gathers move ~2 GB/s:
+        # at 3M matches one Hessian-vector product took seconds, turning
+        # the fit into an hours-long crawl (CLAUDE.md gather rule).
+        matches = self.matches
+        if not scipy.sparse.issparse(matches):
+            matches = scipy.sparse.coo_matrix(matches)
+        blocks = [
+            (m.xys[0], m.xys[1], int(i), int(j))
+            for m, i, j in zip(matches.data, matches.row, matches.col)
+            if m.size > 0
+        ]
+        P = len(blocks)
+        K = -(-max(len(b[0]) for b in blocks) // 128) * 128
+        xa_p = np.zeros((P, K, 3), np.float32)
+        xb_p = np.zeros((P, K, 3), np.float32)
+        # Homogeneous coordinate 1 on EVERY row, padding included: a
+        # zero-padded row would hit the norm at 0, whose backward pass
+        # poisons the whole gradient with NaN (0 * inf) even under a
+        # zero weight.
+        xa_p[..., 2] = 1.0
+        xb_p[..., 2] = 1.0
+        w_p = np.zeros((P, K), np.float32)
+        ia_p = np.zeros(P, np.int32)
+        ib_p = np.zeros(P, np.int32)
+        for p, (a, b, i, j) in enumerate(blocks):
+            mlen = len(a)
+            xa_p[p, :mlen, :2] = a
+            xb_p[p, :mlen, :2] = b
+            w_p[p, :mlen] = 1.0
+            ia_p[p], ib_p[p] = i, j
+        # Scan over fixed-size pair chunks: one compiled body regardless
+        # of sequence length, bounded memory.
+        pair_chunk = min(P, int(kwargs.pop("pair_chunk", 512)))
+        n_chunks = -(-P // pair_chunk)
+        padP = n_chunks * pair_chunk - P
+        if padP:
+            zpad = np.zeros((padP, K, 3), np.float32)
+            zpad[..., 2] = 1.0  # same NaN guard as above
+            xa_p = np.concatenate([xa_p, zpad])
+            xb_p = np.concatenate([xb_p, zpad.copy()])
+            w_p = np.concatenate([w_p, np.zeros((padP, K), np.float32)])
+            ia_p = np.concatenate([ia_p, np.zeros(padP, np.int32)])
+            ib_p = np.concatenate([ib_p, np.zeros(padP, np.int32)])
+        xa_p = jnp.asarray(xa_p.reshape(n_chunks, pair_chunk, K, 3))
+        xb_p = jnp.asarray(xb_p.reshape(n_chunks, pair_chunk, K, 3))
+        w_p = jnp.asarray(w_p.reshape(n_chunks, pair_chunk, K))
+        ia_p = jnp.asarray(ia_p.reshape(n_chunks, pair_chunk))
+        ib_p = jnp.asarray(ib_p.reshape(n_chunks, pair_chunk))
+        n_imgs = len(self.viewdirs)
+        # Anchor frames are held EXACTLY fixed (free-parameter reduction)
+        # instead of the reference's 1e6 quadratic penalty: the penalty
+        # makes the Hessian's condition number ~1e10 against the ~1e-4
+        # ray terms, which turns Newton-CG's inner loop into thousands of
+        # device calls per step (and stalls quasi-Newton too). The
+        # constraint is what the penalty was approximating.
+        free = np.setdiff1d(
+            np.arange(n_imgs), np.asarray(self.anchors, dtype=int)
+        )
+        free_j = jnp.asarray(free, dtype=jnp.int32)
         viewdirs_0 = jnp.asarray(self.viewdirs)
 
-        def unit_rays(viewdirs, xys, idx):
-            R = proj.rotation_matrix(viewdirs, xp=jnp)  # (n_imgs, 3, 3)
-            # Expand per match via nine 1-D component gathers, NOT R[idx]:
-            # a (M, 3, 3) gather output would be tile-padded (3, 3) ->
-            # (8, 128) in HBM — a 42x blowup that OOMs at millions of
-            # matches. (M,)-shaped arrays stay unpadded.
-            x, y = xys[:, 0], xys[:, 1]
-            d = []
-            for j in range(3):
-                d.append(
-                    x * R[:, 0, j][idx]
-                    + y * R[:, 1, j][idx]
-                    + R[:, 2, j][idx]
-                )
-            norm = jnp.sqrt(d[0] * d[0] + d[1] * d[1] + d[2] * d[2])
-            return jnp.stack([c / norm for c in d], axis=-1)
+        eps2 = float(smooth) ** 2
 
         def objective(flat):
-            viewdirs = flat.reshape(-1, 3)
-            ra = unit_rays(viewdirs, xa, ia)
-            rb = unit_rays(viewdirs, xb, ib)
-            obj = jnp.sum(jnp.abs(ra - rb))
-            danchor = viewdirs[anchors] - viewdirs_0[anchors]
-            obj = obj + (anchor_weight / 2.0) * jnp.sum(danchor ** 2)
+            viewdirs = viewdirs_0.at[free_j].set(flat.reshape(-1, 3))
+            R = proj.rotation_matrix(viewdirs, xp=jnp)  # (n_imgs, 3, 3)
+
+            def unit_rays(xys, Rp):
+                d = jnp.einsum(
+                    "pkc,pcd->pkd", xys, Rp,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                norm = jnp.linalg.norm(d, axis=-1, keepdims=True)
+                return d / jnp.maximum(norm, 1e-20)
+
+            def body(acc, args):
+                cxa, cxb, cia, cib, cw = args
+                r = unit_rays(cxa, R[cia]) - unit_rays(cxb, R[cib])
+                if eps2 > 0.0:
+                    term = jnp.sqrt(r * r + eps2)
+                else:
+                    term = jnp.abs(r)
+                return acc + jnp.sum(cw[..., None] * term), None
+
+            obj, _ = jax.lax.scan(
+                body, jnp.float32(0.0), (xa_p, xb_p, ia_p, ib_p, w_p)
+            )
             return obj
 
+        grad_fn = jax.grad(objective)
         value_and_grad = jax.jit(jax.value_and_grad(objective))
 
         def fun(x):
             v, g = value_and_grad(jnp.asarray(x))
             return float(v), np.asarray(g, dtype=float)
 
-        x0 = (
-            self.initialize().ravel() if init == "chain"
-            else self.viewdirs.ravel()
+        full0 = (
+            self.initialize() if init == "chain" else self.viewdirs
         )
+        x0 = np.asarray(full0)[free].ravel()
+        scipy_kwargs = dict(kwargs)
+        if method.lower() == "l-bfgs-b":
+            # The smoothing floor adds ~n_matches * smooth to the
+            # objective VALUE, so scipy's relative ftol default would
+            # stop on the first flat-looking step; drive convergence by
+            # the gradient instead.
+            options = {"ftol": 1e-14, "gtol": 1e-7, "maxcor": 30,
+                       "maxiter": 2000}
+            options.update(scipy_kwargs.pop("options", {}))
+            scipy_kwargs["options"] = options
+        if method.lower() in ("newton-cg", "trust-ncg", "trust-krylov"):
+            hessp_fn = jax.jit(
+                lambda x, v: jax.jvp(grad_fn, (x,), (v,))[1]
+            )
+            scipy_kwargs["hessp"] = lambda x, v: np.asarray(
+                hessp_fn(jnp.asarray(x), jnp.asarray(v)), dtype=float
+            )
         result = scipy.optimize.minimize(
             fun=fun, x0=x0, jac=True, method=method, tol=tol,
-            **kwargs,
+            **scipy_kwargs,
         )
+        # Re-expand to the full (n_images, 3) vector (anchors included)
+        # so result.x keeps the reference fit's shape contract.
+        full = self.viewdirs.copy()
+        full[free] = np.asarray(result.x, dtype=float).reshape(-1, 3)
+        result.x = full.ravel()
         self.reset_cameras()
         if not result.success:
             print(result.message)
