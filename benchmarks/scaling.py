@@ -73,6 +73,7 @@ def main() -> None:
     per_dev = int(os.environ.get("SCALING_POINTS_PER_DEV", 1280))
     particles = int(os.environ.get("SCALING_PARTICLES", 512))
     steps = int(os.environ.get("SCALING_STEPS", 10))
+    reps = int(os.environ.get("SCALING_REPS", 2))
     imgsz = int(os.environ.get("SCALING_IMGSZ", 512))
     max_dev = len(jax.devices())
 
@@ -88,6 +89,53 @@ def main() -> None:
     ).astype(np.float32)[:, None]
     dts = np.ones(steps, np.float32)
 
+    mode = os.environ.get("SCALING_MODE", "weak")
+
+    def run_one(n_dev, n_points):
+        tracker = build(n_points, particles, imgsz, get_mesh(n_dev))
+        import jax.random
+
+        print(f"[scaling] {n_dev} devices: compiling", file=sys.stderr,
+              flush=True)
+        _, out = tracker.track(jax.random.PRNGKey(0), frames, dts)
+        np.asarray(out["mean"][-1])
+        elapsed = float("inf")
+        for rep in range(reps):
+            t0 = time.perf_counter()
+            _, out = tracker.track(jax.random.PRNGKey(rep + 1), frames, dts)
+            np.asarray(out["mean"][-1])
+            elapsed = min(elapsed, time.perf_counter() - t0)
+        print(f"[scaling] {n_dev} devices: {elapsed:.2f}s", file=sys.stderr,
+              flush=True)
+        return elapsed
+
+    if mode == "control":
+        # Oversubscription control: the SAME total work on 1 device and on
+        # the full mesh. On a single-physical-core host both should take
+        # equal wall time if (and only if) sharding adds no overhead —
+        # this separates sharding cost from the thread-oversubscription
+        # cost that the weak-scaling numbers conflate with it.
+        n_points = per_dev * max_dev
+        t_single = run_one(1, n_points)
+        t_sharded = run_one(max_dev, n_points)
+        print(
+            json.dumps(
+                {
+                    "config": f"{n_points} total points x {particles} "
+                              f"particles x {steps} steps, img {imgsz}",
+                    "host_physical_cpus": os.cpu_count(),
+                    "control": {
+                        "single_device_wall_s": round(t_single, 3),
+                        f"sharded_{max_dev}dev_wall_s": round(t_sharded, 3),
+                        "sharding_overhead": round(
+                            t_sharded / t_single - 1.0, 4
+                        ),
+                    },
+                }
+            )
+        )
+        return
+
     rows = []
     t1 = None
     n_dev = 1
@@ -96,17 +144,19 @@ def main() -> None:
         tracker = build(n_points, particles, imgsz, get_mesh(n_dev))
         import jax.random
 
-        # Warm up (compile), then best of 2 timed runs.
+        # Warm up (compile), then best of `reps` timed runs.
+        print(f"[scaling] {n_dev} devices: compiling", file=sys.stderr, flush=True)
         _, out = tracker.track(jax.random.PRNGKey(0), frames, dts)
         np.asarray(out["mean"][-1])
         elapsed = float("inf")
-        for rep in range(2):
+        for rep in range(reps):
             t0 = time.perf_counter()
             _, out = tracker.track(jax.random.PRNGKey(rep + 1), frames, dts)
             np.asarray(out["mean"][-1])
             elapsed = min(elapsed, time.perf_counter() - t0)
         if t1 is None:
             t1 = elapsed
+        print(f"[scaling] {n_dev} devices: {elapsed:.2f}s", file=sys.stderr, flush=True)
         rows.append(
             {
                 "devices": n_dev,
