@@ -173,9 +173,13 @@ def stabilize(renderer, true_viewdirs, workdir: str):
             nfeatures=int(os.environ.get("PIPELINE_NFEATURES", "2048")),
         )
     else:
+        # nfeatures caps host SIFT to the best-n keypoints per image:
+        # localization quality is per-keypoint (unchanged by the cap)
+        # while matching and fit cost scale with the keypoint count.
+        nf = int(os.environ.get("PIPELINE_NFEATURES", "2048"))
         model.build_keypoints(
             masks=[mask] * len(images), contrastThreshold=0.02,
-            clear_images=True, parallel=True,
+            nfeatures=nf, clear_images=True, parallel=True,
         )
     timings["detect_s"] = round(time.perf_counter() - t_det, 1)
     print(f"[stage] detect done {timings['detect_s']}s", file=sys.stderr, flush=True)
