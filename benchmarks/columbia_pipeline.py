@@ -48,16 +48,25 @@ CAM_XYZ = (IMG / 2, -200.0, 400.0)
 CAM_VIEWDIR = (0.0, -35.0, 0.0)
 
 
-def nominal_camera():
+# Second observer for the disjoint-fire-times demo (PIPELINE_OBSERVERS=2):
+# west of the scene looking east (yaw +90), same height/pitch as camera A.
+CAM_B_XYZ = (-200.0, 270.0, 400.0)
+CAM_B_VIEWDIR = (90.0, -35.0, 0.0)
+
+
+def nominal_camera(cam_xyz=CAM_XYZ, cam_viewdir=CAM_VIEWDIR):
     from glimpse_tpu import Camera
 
-    return Camera(imgsz=IMG, f=IMG, xyz=CAM_XYZ, viewdir=CAM_VIEWDIR)
+    return Camera(imgsz=IMG, f=IMG, xyz=cam_xyz, viewdir=cam_viewdir)
 
 
 class SceneRenderer:
-    """Static terrain + translating glacier band, seen by a wobbling camera."""
+    """Static terrain + translating glacier band, seen by a wobbling camera.
 
-    def __init__(self, seed: int = 0):
+    Renderers built with the same ``seed`` share the same world (terrain +
+    glacier textures), so two cameras view one scene."""
+
+    def __init__(self, seed: int = 0, cam_xyz=CAM_XYZ, cam_viewdir=CAM_VIEWDIR):
         import scipy.ndimage
 
         rng = np.random.default_rng(seed)
@@ -70,7 +79,8 @@ class SceneRenderer:
         self.glacier = (
             scipy.ndimage.gaussian_filter(rng.normal(size=shape), 0.8) * 55 + 128
         ).astype(np.float32)
-        cam = nominal_camera()
+        self.cam_viewdir = tuple(cam_viewdir)
+        cam = nominal_camera(cam_xyz, cam_viewdir)
         self.cam_xyz = np.asarray(cam.xyz, float)
         self.base_vector = cam.to_array()
         u, v = np.meshgrid(
@@ -126,30 +136,36 @@ class SceneRenderer:
         return (mask * 255).astype(np.uint8)
 
 
-def stabilize(renderer, true_viewdirs, workdir: str):
+def stabilize(renderer, true_viewdirs, workdir: str, steps=None, tag=""):
     """Render JPEGs, run SIFT + matching + ObserverCameras; return viewdirs.
 
     Round-3 bottleneck fixes (VERDICT item 4): SIFT detection fans out over
     host threads (cv2 releases the GIL), and per-pair FLANN is replaced by
     the device-batched MXU matcher (``matcher='device'``).
+
+    ``steps`` optionally gives the global step index of each frame (for
+    observers that fire on a subset of the timeline); ``tag`` prefixes the
+    rendered file names so two observers can share ``workdir``.
     """
     import PIL.Image
 
     from glimpse_tpu import Image, optimize
 
+    if steps is None:
+        steps = range(len(true_viewdirs))
     timings = {}
     t_start = time.perf_counter()
     t0 = datetime.datetime(2020, 1, 1)
     hour = datetime.timedelta(hours=1)
     images = []
-    for i, viewdir in enumerate(true_viewdirs):
+    for i, viewdir in zip(steps, true_viewdirs):
         frame = np.clip(renderer.render(i, viewdir), 0, 255).astype(np.uint8)
-        path = os.path.join(workdir, f"frame_{i:04d}.jpg")
+        path = os.path.join(workdir, f"frame_{tag}{i:04d}.jpg")
         PIL.Image.fromarray(frame).save(path, quality=95)
         img = Image(
             path,
             cam={"imgsz": IMG, "f": IMG, "xyz": tuple(renderer.cam_xyz),
-                 "viewdir": CAM_VIEWDIR},
+                 "viewdir": renderer.cam_viewdir},
             datetime=t0 + i * hour,
         )
         images.append(img)
@@ -192,48 +208,20 @@ def stabilize(renderer, true_viewdirs, workdir: str):
     print(f"[stage] match done {timings['match_s']}s", file=sys.stderr, flush=True)
     n_pairs = int(sum(m.size for m in model.matches.data))
     t_fit = time.perf_counter()
-    result = model.fit()
+    result = model.fit(
+        method=os.environ.get("PIPELINE_FIT_METHOD", "newton-cg")
+    )
     timings["fit_s"] = round(time.perf_counter() - t_fit, 1)
     print(f"[stage] fit done {timings['fit_s']}s", file=sys.stderr, flush=True)
     return result.x.reshape(-1, 3), n_pairs, timings
 
 
-def main() -> None:
-    if os.environ.get("PIPELINE_PLATFORM"):
-        import jax
-
-        jax.config.update("jax_platforms", os.environ["PIPELINE_PLATFORM"])
-    import jax
+def _tracking_setup(N, P, T, rng):
+    """Shared tracking-stage setup: start points, motion, config, truth."""
     import jax.numpy as jnp
 
-    from glimpse_tpu.track.batch import (
-        BatchConfig, BatchMotion, BatchTracker, DeviceRaster,
-    )
+    from glimpse_tpu.track.batch import BatchConfig, BatchMotion, DeviceRaster
 
-    N = int(os.environ.get("PIPELINE_POINTS", 10240))
-    P = int(os.environ.get("PIPELINE_PARTICLES", 512))
-    T = int(os.environ.get("PIPELINE_FRAMES", 1000))
-
-    rng = np.random.default_rng(42)
-    true_viewdirs = np.tile(np.asarray(CAM_VIEWDIR), (T, 1))
-    true_viewdirs[1:] += rng.normal(0, JITTER_DEG, size=(T - 1, 3))
-
-    renderer = SceneRenderer(seed=0)
-
-    # ---- Stage 1+2: render + stabilize (host, SIFT) ----
-    t_stab = time.perf_counter()
-    workdir = tempfile.mkdtemp(prefix="columbia_pipeline_")
-    recovered, n_pairs, stab_timings = stabilize(renderer, true_viewdirs, workdir)
-    stab_seconds = time.perf_counter() - t_stab
-    # Rotation-angle error is the parameterization-independent metric.
-    from glimpse_tpu.ops import projection as proj
-
-    R_true = proj.rotation_matrix(true_viewdirs, xp=np)
-    R_rec = proj.rotation_matrix(np.asarray(recovered), xp=np)
-    rel = np.einsum("nij,nkj->nik", R_rec, R_true)  # R_rec @ R_true^T
-    traces = np.trace(rel, axis1=-2, axis2=-1)
-    rot_err_deg = np.degrees(np.arccos(np.clip((traces - 1) / 2, -1, 1)))
-    # ---- Stage 3: batched tracking, streamed ----
     margin = 80
     starts = np.column_stack([
         rng.uniform(margin, IMG - margin - VEL[0] * T, N),
@@ -253,6 +241,176 @@ def main() -> None:
         use_dem_sigma=False,
     )
     cfg = BatchConfig(n_particles=P, template_size=(15, 15), search_size=(31, 31))
+    truth = starts + np.asarray(VEL) * (T - 1)
+    return starts, motion, cfg, truth
+
+
+def _rmse(final, truth):
+    return float(np.sqrt(np.mean(np.sum((final[:, 0:2] - truth) ** 2, axis=-1))))
+
+
+def _rotation_errors(recovered, true_viewdirs):
+    from glimpse_tpu.ops import projection as proj
+
+    R_true = proj.rotation_matrix(np.asarray(true_viewdirs, float), xp=np)
+    R_rec = proj.rotation_matrix(np.asarray(recovered, float), xp=np)
+    rel = np.einsum("nij,nkj->nik", R_rec, R_true)  # R_rec @ R_true^T
+    traces = np.trace(rel, axis1=-2, axis2=-1)
+    return np.degrees(np.arccos(np.clip((traces - 1) / 2, -1, 1)))
+
+
+def main_two_observers(N, P, T) -> None:
+    """Two cameras with DISJOINT fire times (VERDICT round-2 item 2).
+
+    Observer A (south, looking north) fires on even hours, observer B
+    (west, looking east) on odd hours — no step has both. Each observer's
+    wobbling sequence is stabilized independently; the batched tracker
+    then runs over the union timeline with per-step (O,) validity masks
+    (reference skip semantics, /root/reference/src/glimpse/track/
+    tracker.py:466-492), fusing the two viewpoints into one track set.
+    """
+    import jax
+
+    from glimpse_tpu.track.batch import BatchTracker
+
+    rng = np.random.default_rng(42)
+    fires = [np.arange(0, T, 2), np.arange(1, T, 2)]  # A: even, B: odd
+    renderers = [
+        SceneRenderer(seed=0),
+        SceneRenderer(seed=0, cam_xyz=CAM_B_XYZ, cam_viewdir=CAM_B_VIEWDIR),
+    ]
+    true_vds = []
+    for o in (0, 1):
+        vd = np.tile(np.asarray(renderers[o].cam_viewdir), (len(fires[o]), 1))
+        vd[1:] += rng.normal(0, JITTER_DEG, size=(len(vd) - 1, 3))
+        true_vds.append(vd)
+
+    # ---- Stabilize each observer's own sequence (ANCHOR = first fire) ----
+    workdir = tempfile.mkdtemp(prefix="columbia_pipeline2_")
+    t_stab = time.perf_counter()
+    recovered, n_pairs, stages = [], 0, []
+    for o in (0, 1):
+        rec, pairs, timings = stabilize(
+            renderers[o], true_vds[o], workdir, steps=fires[o], tag="ab"[o],
+        )
+        recovered.append(rec)
+        n_pairs += pairs
+        stages.append(timings)
+    stab_seconds = time.perf_counter() - t_stab
+    rot_err = [
+        _rotation_errors(recovered[o], true_vds[o]) for o in (0, 1)
+    ]
+
+    # ---- Masked streamed tracking over the union timeline ----
+    starts, motion, cfg, truth = _tracking_setup(N, P, T, rng)
+    tracker = BatchTracker(
+        camera_vectors=np.stack([r.base_vector for r in renderers]),
+        corrections=[None, None], sigmas=[0.3, 0.3], motion=motion,
+        config=cfg,
+    )
+    cam_seq = np.zeros((T, 2, 20), np.float32)
+    for o in (0, 1):
+        cam_seq[:, o] = renderers[o].base_vector
+        for k, t in enumerate(fires[o]):
+            cam_seq[t, o] = renderers[o].camera_vector(recovered[o][k])
+    # Observer B's template frame is its FIRST fire (step 1); its slot in
+    # the template-time camera row must match that frame.
+    cam_seq[0, 1] = cam_seq[1, 1]
+    masks = np.zeros((T - 1, 2), np.float32)
+    steps_1 = np.arange(1, T)
+    masks[steps_1 % 2 == 0, 0] = 1.0
+    masks[steps_1 % 2 == 1, 1] = 1.0
+
+    vd_by_step = [dict(zip(fires[o].tolist(), true_vds[o])) for o in (0, 1)]
+    zero = np.zeros((IMG, IMG), np.float32)
+
+    def frame_at(t):
+        o = t % 2  # A fires even steps, B odd
+        img = renderers[o].render(t, vd_by_step[o][t]).astype(np.float32)
+        return np.stack([img, zero] if o == 0 else [zero, img])
+
+    # Template frames: each observer's first available fire (A: step 0,
+    # B: step 1 — the glacier moves ~0.07 px between them, well under the
+    # template's subpixel noise floor).
+    images0 = np.stack([
+        renderers[0].render(0, true_vds[0][0]),
+        renderers[1].render(1, true_vds[1][0]),
+    ]).astype(np.float32)
+
+    def run(camera_seq):
+        start = time.perf_counter()
+        _, outputs = tracker.track_stream(
+            jax.random.PRNGKey(0),
+            images0,
+            (frame_at(t) for t in range(1, T)),
+            np.ones(T - 1, np.float32),
+            camera_vectors_seq=camera_seq,
+            obs_masks=masks,
+        )
+        final = np.asarray(outputs[-1]["mean"])
+        return final, time.perf_counter() - start
+
+    final_stab, secs_stab = run(cam_seq)
+    final_raw, _ = run(None)
+
+    print(
+        json.dumps(
+            {
+                "config": f"{N} points x {P} particles x {T} frames, "
+                          "2 observers with DISJOINT fire times "
+                          "(A even hours, B odd hours; masked streamed PF)",
+                "stabilization_pairs": int(n_pairs),
+                "stabilization_seconds": round(stab_seconds, 1),
+                "stabilization_stages": stages,
+                "rotation_max_err_deg": [
+                    round(float(e.max()), 4) for e in rot_err
+                ],
+                "rotation_mean_err_deg": [
+                    round(float(e.mean()), 4) for e in rot_err
+                ],
+                "rmse_unstabilized_px": round(_rmse(final_raw, truth), 3),
+                "rmse_stabilized_px": round(_rmse(final_stab, truth), 3),
+                "track_wall_s": round(secs_stab, 1),
+                "point_steps_per_s": round(N * (T - 1) / secs_stab, 1),
+            }
+        )
+    )
+
+
+def main() -> None:
+    if os.environ.get("PIPELINE_PLATFORM"):
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["PIPELINE_PLATFORM"])
+    import jax
+    import jax.numpy as jnp
+
+    from glimpse_tpu.track.batch import (
+        BatchConfig, BatchMotion, BatchTracker, DeviceRaster,
+    )
+
+    N = int(os.environ.get("PIPELINE_POINTS", 10240))
+    P = int(os.environ.get("PIPELINE_PARTICLES", 512))
+    T = int(os.environ.get("PIPELINE_FRAMES", 1000))
+    if int(os.environ.get("PIPELINE_OBSERVERS", "1")) == 2:
+        main_two_observers(N, P, T)
+        return
+
+    rng = np.random.default_rng(42)
+    true_viewdirs = np.tile(np.asarray(CAM_VIEWDIR), (T, 1))
+    true_viewdirs[1:] += rng.normal(0, JITTER_DEG, size=(T - 1, 3))
+
+    renderer = SceneRenderer(seed=0)
+
+    # ---- Stage 1+2: render + stabilize (host, SIFT) ----
+    t_stab = time.perf_counter()
+    workdir = tempfile.mkdtemp(prefix="columbia_pipeline_")
+    recovered, n_pairs, stab_timings = stabilize(renderer, true_viewdirs, workdir)
+    stab_seconds = time.perf_counter() - t_stab
+    # Rotation-angle error is the parameterization-independent metric.
+    rot_err_deg = _rotation_errors(recovered, true_viewdirs)
+    # ---- Stage 3: batched tracking, streamed ----
+    starts, motion, cfg, truth = _tracking_setup(N, P, T, rng)
     tracker = BatchTracker(
         camera_vectors=renderer.base_vector[None], corrections=[None],
         sigmas=[0.3], motion=motion, config=cfg,
@@ -270,12 +428,8 @@ def main() -> None:
         final = np.asarray(outputs[-1]["mean"])
         return final, time.perf_counter() - start
 
-    truth = starts + np.asarray(VEL) * (T - 1)
-
     def rmse(final):
-        return float(
-            np.sqrt(np.mean(np.sum((final[:, 0:2] - truth) ** 2, axis=-1)))
-        )
+        return _rmse(final, truth)
 
     recovered_seq = np.stack(
         [renderer.camera_vector(v) for v in recovered]
