@@ -209,7 +209,7 @@ def stabilize(renderer, true_viewdirs, workdir: str, steps=None, tag=""):
     n_pairs = int(sum(m.size for m in model.matches.data))
     t_fit = time.perf_counter()
     result = model.fit(
-        method=os.environ.get("PIPELINE_FIT_METHOD", "newton-cg")
+        method=os.environ.get("PIPELINE_FIT_METHOD", "lbfgs-device")
     )
     timings["fit_s"] = round(time.perf_counter() - t_fit, 1)
     print(f"[stage] fit done {timings['fit_s']}s", file=sys.stderr, flush=True)

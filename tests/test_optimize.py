@@ -177,6 +177,19 @@ def test_observer_cameras_stabilization() -> None:
     np.testing.assert_allclose(fitted[0], (0, 0, 0), atol=1e-3)
     np.testing.assert_allclose(fitted[1], true_viewdir, atol=1e-2)
 
+    # The fully-on-device L-BFGS (one jitted while_loop, no per-iteration
+    # host round trips) must reach the same optimum.
+    camB.viewdir = (0, 0, 0)
+    model2 = optimize.ObserverCameras(
+        FakeObserver(), matches=matches, anchors=[0]
+    )
+    result2 = model2.fit(method="lbfgs-device")
+    fitted2 = result2.x.reshape(-1, 3)
+    assert result2.success
+    np.testing.assert_allclose(fitted2[0], (0, 0, 0), atol=1e-3)
+    np.testing.assert_allclose(fitted2[1], true_viewdir, atol=1e-2)
+    np.testing.assert_allclose(fitted2[1], fitted[1], atol=2e-3)
+
 
 @pytest.mark.slow
 def test_optimizes_camera_viewdir_with_ransac() -> None:
