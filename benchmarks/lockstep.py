@@ -199,6 +199,11 @@ def run_lockstep(
     if x64:
         jax.config.update("jax_enable_x64", True)
         dtype = jnp.float64
+    elif os.environ.get("LOCKSTEP_DTYPE") == "bfloat16":
+        # Accuracy probe for a reduced-precision fast mode: the injected
+        # draws stay f32 (cast at use), only the carried state and the
+        # observation pipeline run in bf16.
+        dtype = jnp.bfloat16
     motion = BatchMotion(
         kind="cartesian",
         xy=jnp.asarray(starts, dtype),
@@ -250,7 +255,7 @@ def run_lockstep(
                   f"{n_frames} frames (lockstep noise"
                   + (f", dem_sigma={dem_sigma}" if dem_sigma else "")
                   + ")",
-        "dtype": "float64" if x64 else "float32",
+        "dtype": str(np.dtype(dtype)) if not x64 else "float64",
         "rmse_device_vs_host_px": round(float(np.sqrt((diff ** 2).mean())), 4),
         "max_device_vs_host_px": round(float(diff.max()), 4),
         "rmse_host_vs_truth_px": round(float(np.sqrt((err_host ** 2).mean())), 4),
