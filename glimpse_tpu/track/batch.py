@@ -63,6 +63,25 @@ class DeviceRaster:
         rows = (xy[..., 1] - self.y0) / self.dy - 0.5
         return sampling_ops.bilinear_sample(self.array, rows, cols, xp=jnp)
 
+    def sample_nearest(self, xy):
+        """Order-0 (nearest-cell) sample at world points (..., 2).
+
+        The device twin of ``Raster.sample(..., order=0)`` used by the
+        reference's per-step particle validity test
+        (``/root/reference/src/glimpse/track/tracker.py:106-119``).
+        Out-of-extent points clamp to the edge cells.
+        """
+        H, W = self.array.shape
+        cols = jnp.clip(
+            jnp.floor((xy[..., 0] - self.x0) / self.dx).astype(jnp.int32),
+            0, W - 1,
+        )
+        rows = jnp.clip(
+            jnp.floor((xy[..., 1] - self.y0) / self.dy).astype(jnp.int32),
+            0, H - 1,
+        )
+        return self.array[rows, cols]
+
     def tree_flatten(self):
         return (self.array, self.x0, self.y0, self.dx, self.dy), None
 
@@ -418,11 +437,12 @@ class BatchState:
     template_table: Any  # (O, N, K) quantile table of pre-highpass values
     template_duv: Any  # (O, N, 2) subpixel offsets
     step: Any  # scalar int
+    valid: Any = None  # (N,) 1.0 while the per-step particle test passes
 
     def tree_flatten(self):
         return (
             self.particles, self.weights, self.key, self.templates,
-            self.template_table, self.template_duv, self.step,
+            self.template_table, self.template_duv, self.step, self.valid,
         ), None
 
     @classmethod
@@ -431,6 +451,24 @@ class BatchState:
 
 
 # ---- Observation kernel ---- #
+
+
+def _particle_validity(particles, viewshed: Optional[DeviceRaster]):
+    """Per-point particle validity: (N,) 1.0 where ALL particles pass.
+
+    The TPU-first translation of the reference's ``test_particles``
+    (``/root/reference/src/glimpse/track/tracker.py:106-119``, called after
+    initialize and after every evolve at ``:329,334``): any particle on a
+    non-visible viewshed cell (order-0 sample) or with a NaN component
+    invalidates the whole point. The reference raises and fault-contains
+    the track; under jit the failure is folded into a validity output
+    that :func:`to_tracks` bridges back into per-track errors.
+    """
+    ok = jnp.all(jnp.isfinite(particles), axis=(1, 2))
+    if viewshed is not None:
+        visible = viewshed.sample_nearest(particles[..., 0:2])  # (N, P)
+        ok = ok & jnp.all(visible > 0, axis=-1)
+    return ok
 
 
 def _gather_rows(particles, weights, idx):
@@ -760,6 +798,7 @@ class BatchTracker:
         mesh=None,
         viewshed=None,
     ) -> None:
+        self.viewshed = None
         if viewshed is not None:
             # Reference semantics (tracker.py:91-95): fail early if any
             # tracked point starts on a non-visible viewshed cell. Checked
@@ -772,6 +811,11 @@ class BatchTracker:
                 raise ValueError(
                     f"Points on non-visible viewshed cells: {bad.tolist()}"
                 )
+            # Device copy for the per-step particle validity test (kept as
+            # host NumPy leaves and passed as a jit argument, like motion).
+            self.viewshed = jax.tree_util.tree_map(
+                np.asarray, DeviceRaster.from_raster(viewshed)
+            )
         # Cameras and motion parameters stay HOST-side (NumPy) and are
         # passed to the jitted step as arguments, never closed over: a
         # closed-over device array is baked into the executable as a
@@ -880,10 +924,52 @@ class BatchTracker:
             self.camera_vectors, replicated_sharding(self.mesh)
         )
 
+    def _device_viewshed(self):
+        if self.viewshed is None or self.mesh is None:
+            return self.viewshed
+        from ..parallel.mesh import replicated_sharding
+
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, replicated_sharding(self.mesh)),
+            self.viewshed,
+        )
+
     # -- initialization -- #
 
+    def _make_template(self, image, cam_vec, correction, xyz_mean):
+        """Extract one observer's template stack at the particle means.
+
+        The device analog of the reference's ``initialize_template``
+        (``/root/reference/src/glimpse/track/tracker.py:536-561``): a
+        ``template_size`` tile centered on each point's projected weighted
+        particle mean, with its quantile table and subpixel offset.
+        Returns (templates (N, th, tw), table (N, K), duv (N, 2)).
+        """
+        cfg = self.config
+        th, tw = cfg.template_size
+        uv = projection.project(cam_vec, xyz_mean, correction=correction, xp=jnp)
+        H, W = image.shape
+        corner_col = jnp.clip(
+            jnp.round(uv[:, 0] - tw * 0.5).astype(jnp.int32), 0, W - tw
+        )
+        corner_row = jnp.clip(
+            jnp.round(uv[:, 1] - th * 0.5).astype(jnp.int32), 0, H - th
+        )
+        corners = jnp.stack([corner_row, corner_col], axis=-1)
+        tiles = _extract_tiles(image, corners, (th, tw))
+        hp, table = _prepare_template_tiles(
+            tiles, cfg.highpass_size, cfg.n_quantiles, cfg.highpass_mode,
+            mesh=self.mesh,
+        )
+        duv = uv - (
+            corners[:, ::-1].astype(cfg.dtype)
+            + jnp.asarray([tw * 0.5, th * 0.5], dtype=cfg.dtype)
+        )
+        return hp, table, duv
+
     def initialize(
-        self, key, images0, noise=None, camera_vectors=None, motion=None
+        self, key, images0, noise=None, camera_vectors=None, motion=None,
+        viewshed=None, obs_mask0=None,
     ) -> BatchState:
         """Initialize particles, weights, and templates from the first frame.
 
@@ -901,36 +987,31 @@ class BatchTracker:
         cfg = self.config
         if motion is None:
             motion = self.motion
+        if viewshed is None:
+            viewshed = self.viewshed
         N = motion.n_points
         th, tw = cfg.template_size
         key, sub = jax.random.split(key)
         cams = self.camera_vectors if camera_vectors is None else camera_vectors
         particles = motion.initialize(sub, cfg.n_particles, noise=noise)
+        # Reference: test_particles() right after initialize_particles()
+        # (tracker.py:329) — folded into the carried validity flag.
+        valid0 = _particle_validity(particles, viewshed).astype(cfg.dtype)
         weights = jnp.ones((N, cfg.n_particles), dtype=cfg.dtype)
+        xyz_mean = jnp.mean(particles[..., 0:3], axis=1)
         templates, tables, duvs = [], [], []
         for o in range(self.n_observers):
-            uv = projection.project(
-                cams[o],
-                jnp.mean(particles[..., 0:3], axis=1),
-                correction=self.corrections[o],
-                xp=jnp,
-            )  # (N, 2)
-            H, W = images0[o].shape
-            corner_col = jnp.clip(
-                jnp.round(uv[:, 0] - tw * 0.5).astype(jnp.int32), 0, W - tw
-            )
-            corner_row = jnp.clip(
-                jnp.round(uv[:, 1] - th * 0.5).astype(jnp.int32), 0, H - th
-            )
-            corners = jnp.stack([corner_row, corner_col], axis=-1)
-            tiles = _extract_tiles(images0[o], corners, (th, tw))
-            hp, table = _prepare_template_tiles(
-                tiles, cfg.highpass_size, cfg.n_quantiles, cfg.highpass_mode,
-                mesh=self.mesh,
-            )
-            duv = uv - (
-                corners[:, ::-1].astype(cfg.dtype)
-                + jnp.asarray([tw * 0.5, th * 0.5], dtype=cfg.dtype)
+            if obs_mask0 is not None and not obs_mask0[o]:
+                # Late-starting observer (no image at the template frame):
+                # its template is extracted inside the sequence at its
+                # first valid frame (reference tracker.py:335-344 via
+                # ``template_indices``), through step(init_template_for=).
+                templates.append(jnp.zeros((N, th, tw), cfg.dtype))
+                tables.append(jnp.zeros((N, cfg.n_quantiles), cfg.dtype))
+                duvs.append(jnp.zeros((N, 2), cfg.dtype))
+                continue
+            hp, table, duv = self._make_template(
+                images0[o], cams[o], self.corrections[o], xyz_mean
             )
             templates.append(hp)
             tables.append(table)
@@ -943,6 +1024,7 @@ class BatchTracker:
             template_table=jnp.stack(tables),
             template_duv=jnp.stack(duvs),
             step=jnp.int32(0),
+            valid=valid0,
         )
         return self._shard(state)
 
@@ -950,7 +1032,8 @@ class BatchTracker:
 
     def step(
         self, state: BatchState, images, dt_units, noise=None,
-        camera_vectors=None, obs_mask=None, motion=None,
+        camera_vectors=None, obs_mask=None, motion=None, viewshed=None,
+        init_template_for: Tuple[int, ...] = (),
     ) -> Tuple[BatchState, dict]:
         """One PF update: evolve -> weight by all observers -> resample.
 
@@ -975,6 +1058,8 @@ class BatchTracker:
         noise = noise or {}
         if motion is None:
             motion = self.motion
+        if viewshed is None:
+            viewshed = self.viewshed
         cams = self.camera_vectors if camera_vectors is None else camera_vectors
         key = state.key
         key, k_evolve, k_resample = jax.random.split(key, 3)
@@ -983,6 +1068,41 @@ class BatchTracker:
         particles = motion.evolve(
             k_evolve, state.particles, dt_units, noise=noise
         ).astype(cfg.dtype)
+        # Reference: test_particles() after every evolve (tracker.py:334) —
+        # a failure there raises and fault-contains the track; here it
+        # latches the per-point validity flag (surfaced via to_tracks).
+        valid = state.valid
+        if valid is None:
+            valid = jnp.ones(particles.shape[0], dtype=cfg.dtype)
+        valid = valid * _particle_validity(particles, viewshed).astype(
+            cfg.dtype
+        )
+        templates = state.templates
+        template_table = state.template_table
+        template_duv = state.template_duv
+        if init_template_for:
+            # Late-starting observers: build their templates from THIS
+            # frame at the current (post-evolve) particle means, exactly
+            # where the reference calls initialize_template inside the
+            # tracking loop (tracker.py:335-344) — the observer then
+            # contributes to this same step's update.
+            w_norm = state.weights / jnp.sum(
+                state.weights, axis=-1, keepdims=True
+            )
+            xyz_mean = jnp.sum(
+                particles[..., 0:3] * w_norm[..., None], axis=1
+            )
+            for o in init_template_for:
+                hp, table, duv = self._make_template(
+                    images[o], cams[o], self.corrections[o], xyz_mean
+                )
+                templates = templates.at[o].set(hp.astype(templates.dtype))
+                template_table = template_table.at[o].set(
+                    table.astype(template_table.dtype)
+                )
+                template_duv = template_duv.at[o].set(
+                    duv.astype(template_duv.dtype)
+                )
         ll = motion.log_likelihoods(particles).astype(cfg.dtype)
         # Static: does the motion prior contribute a likelihood term?
         motion_informative = (
@@ -996,9 +1116,9 @@ class BatchTracker:
                 self.corrections[o],
                 self.sigmas[o],
                 particles,
-                state.templates[o],
-                state.template_table[o],
-                state.template_duv[o],
+                templates[o],
+                template_table[o],
+                template_duv[o],
                 state.weights,
                 cfg,
                 mesh=self.mesh,
@@ -1072,12 +1192,13 @@ class BatchTracker:
             particles=particles,
             weights=weights,
             key=key,
-            templates=state.templates,
-            template_table=state.template_table,
-            template_duv=state.template_duv,
+            templates=templates,
+            template_table=template_table,
+            template_duv=template_duv,
             step=state.step + 1,
+            valid=valid,
         )
-        outputs = {"mean": mean, "sigma": sigma}
+        outputs = {"mean": mean, "sigma": sigma, "valid": valid}
         if cfg.return_covariances:
             outputs["covariance"] = covariance
         return new_state, outputs
@@ -1093,11 +1214,12 @@ class BatchTracker:
         as constants (fragile and bloated; see ``__init__``).
         """
 
-        def run(state: BatchState, images, dts, motion, cams):
+        def run(state: BatchState, images, dts, motion, cams, viewshed):
             def body(carry, xs):
                 frame, dt = xs
                 new_state, out = self.step(
-                    carry, frame, dt, camera_vectors=cams, motion=motion
+                    carry, frame, dt, camera_vectors=cams, motion=motion,
+                    viewshed=viewshed,
                 )
                 return new_state, out
 
@@ -1105,38 +1227,126 @@ class BatchTracker:
 
         return jax.jit(run)
 
-    @functools.cached_property
-    def _track_jit(self):
-        """Jitted init + scan: one device dispatch for a whole sequence."""
+    def _template_plan(self, obs_masks, obs_mask0):
+        """Static late-template plan from host-side observation masks.
 
-        def run(key, images, dts, motion, cams, obs_masks):
+        Returns ``(mask0, boundaries)``: ``mask0`` is an O-tuple of bools
+        (observer has an image at the template frame) or None, and
+        ``boundaries`` maps each late observer to its first unmasked step —
+        a tuple of ``(step_index, (obs, ...))`` pairs, step indices
+        1-based (aligned with ``images[1:]``). Mirrors the reference's
+        ``template_indices = argmax(matching_images != None)``
+        (``/root/reference/src/glimpse/track/tracker.py:293,335-344``).
+        """
+        if obs_mask0 is None:
+            return None, ()
+        mask0 = tuple(bool(v) for v in np.asarray(obs_mask0) > 0)
+        if all(mask0):
+            return mask0, ()
+        if obs_masks is None:
+            raise ValueError(
+                "obs_mask0 marks late-starting observers but obs_masks"
+                " was not provided"
+            )
+        masks = np.asarray(obs_masks) > 0
+        by_step: dict = {}
+        for o, present in enumerate(mask0):
+            if present:
+                continue
+            fires = np.flatnonzero(masks[:, o])
+            if fires.size == 0:
+                continue  # never fires: template stays zero, always masked
+            by_step.setdefault(int(fires[0]) + 1, []).append(o)
+        boundaries = tuple(
+            (b, tuple(obs)) for b, obs in sorted(by_step.items())
+        )
+        return mask0, boundaries
+
+    def _track_program(self, mask0, boundaries, noise_keys, has_masks):
+        """Build (and cache) the jitted init + segmented-scan program.
+
+        Motion, cameras, and viewshed are ARGUMENTS, not closures:
+        closed-over device arrays are fetched at lowering time and baked
+        into the executable as constants (fragile and bloated; see
+        ``__init__``). Late-template boundaries split the time scan into
+        static segments with an eager template-initializing step between
+        them — one compiled program, no in-scan conditionals.
+        """
+        cache_key = (mask0, boundaries, noise_keys, has_masks)
+        cache = getattr(self, "_track_program_cache", None)
+        if cache is None:
+            cache = self._track_program_cache = {}
+        if cache_key in cache:
+            return cache[cache_key]
+
+        def run(key, images, dts, motion, cams, obs_masks, viewshed,
+                init_noise, step_noise):
             state = self.initialize(
-                key, images[0], camera_vectors=cams, motion=motion
+                key, images[0], noise=init_noise, camera_vectors=cams,
+                motion=motion, viewshed=viewshed, obs_mask0=mask0,
             )
+            T1 = dts.shape[0]
 
-            def body(carry, xs):
-                if obs_masks is None:
-                    frame, dt = xs
-                    mask = None
-                else:
-                    frame, dt, mask = xs
-                new_state, out = self.step(
-                    carry, frame, dt, camera_vectors=cams, obs_mask=mask,
-                    motion=motion,
+            def step_args(i_or_slice):
+                sliced = {}
+                if noise_keys:
+                    sliced["noise"] = {
+                        k: step_noise[k][i_or_slice] for k in noise_keys
+                    }
+                if has_masks:
+                    sliced["obs_mask"] = obs_masks[i_or_slice]
+                return sliced
+
+            def seg_scan(state, lo, hi):
+                xs = {
+                    "frame": images[1 + lo : 1 + hi],
+                    "dt": dts[lo:hi],
+                    **step_args(slice(lo, hi)),
+                }
+
+                def body(carry, x):
+                    return self.step(
+                        carry, x["frame"], x["dt"],
+                        noise=x.get("noise"), camera_vectors=cams,
+                        obs_mask=x.get("obs_mask"), motion=motion,
+                        viewshed=viewshed,
+                    )
+
+                return jax.lax.scan(body, state, xs)
+
+            outs = []
+            prev = 0
+            for b, obs_tuple in boundaries:
+                i = b - 1  # 0-based index into frames[1:] / dts
+                if i > prev:
+                    state, out = seg_scan(state, prev, i)
+                    outs.append(out)
+                args = step_args(i)
+                state, out1 = self.step(
+                    state, images[b], dts[i], noise=args.get("noise"),
+                    camera_vectors=cams, obs_mask=args.get("obs_mask"),
+                    motion=motion, viewshed=viewshed,
+                    init_template_for=obs_tuple,
                 )
-                return new_state, out
-
-            xs = (
-                (images[1:], dts)
-                if obs_masks is None
-                else (images[1:], dts, obs_masks)
+                outs.append(
+                    jax.tree_util.tree_map(lambda x: x[None], out1)
+                )
+                prev = i + 1
+            if prev < T1 or not outs:
+                state, out = seg_scan(state, prev, T1)
+                outs.append(out)
+            if len(outs) == 1:
+                return state, outs[0]
+            outputs = jax.tree_util.tree_map(
+                lambda *xs: jnp.concatenate(xs, axis=0), *outs
             )
-            return jax.lax.scan(body, state, xs)
+            return state, outputs
 
-        return jax.jit(run)
+        cache[cache_key] = jax.jit(run)
+        return cache[cache_key]
 
     def track(
-        self, key, images, dts, noise=None, obs_masks=None
+        self, key, images, dts, noise=None, obs_masks=None, obs_mask0=None
     ) -> Tuple[BatchState, dict]:
         """Track through a sequence held in device memory.
 
@@ -1155,6 +1365,13 @@ class BatchTracker:
                 semantics, see :meth:`step`). Build from host
                 ``Tracker.match_datetimes`` with
                 :func:`masks_from_frame_table`.
+            obs_mask0: Optional (O,) validity flags for the TEMPLATE frame
+                (row 0 of :func:`masks_from_frame_table`). An observer
+                without an image there is late-starting: its template is
+                extracted inside the sequence at its first unmasked step,
+                from the particle state at that step (reference
+                ``template_indices`` semantics, tracker.py:293,335-344).
+                Default: all observers present at frame 0.
 
         Returns:
             (final state, outputs) where outputs['mean'] is (T-1, N, 6) and
@@ -1166,49 +1383,34 @@ class BatchTracker:
 
             images = jax.device_put(images, replicated_sharding(self.mesh))
         dts = jnp.asarray(dts, dtype=self.config.dtype)
+        mask0, boundaries = self._template_plan(obs_masks, obs_mask0)
         if obs_masks is not None:
             obs_masks = jnp.asarray(obs_masks, dtype=self.config.dtype)
         motion = self._device_motion()
         cams = self._device_cams()
-        if noise is None:
-            return self._track_jit(key, images, dts, motion, cams, obs_masks)
-        # Lockstep path: thread the per-step draws through the scan.
-        init_noise = noise.get("init", None)
-        step_noise = {
-            k: jnp.asarray(noise[k])
-            for k in ("a", "zwalk", "resample_u")
-            if k in noise
-        }
-        state = jax.jit(self.initialize)(
-            key, images[0], noise=init_noise, camera_vectors=cams,
-            motion=motion,
+        viewshed = self._device_viewshed()
+        init_noise = None
+        step_noise = {}
+        noise_keys = ()
+        if noise is not None:
+            init_noise = noise.get("init", None)
+            step_noise = {
+                k: jnp.asarray(noise[k])
+                for k in ("a", "zwalk", "resample_u")
+                if k in noise
+            }
+            noise_keys = tuple(sorted(step_noise))
+        program = self._track_program(
+            mask0, boundaries, noise_keys, obs_masks is not None
         )
-
-        def body_fn(motion, carry, xs):
-            if obs_masks is None:
-                frame, dt, per_step = xs
-                mask = None
-            else:
-                frame, dt, per_step, mask = xs
-            return self.step(
-                carry, frame, dt, noise=per_step, obs_mask=mask,
-                motion=motion,
-            )
-
-        xs = (
-            (images[1:], dts, step_noise)
-            if obs_masks is None
-            else (images[1:], dts, step_noise, obs_masks)
+        return program(
+            key, images, dts, motion, cams, obs_masks, viewshed,
+            init_noise, step_noise,
         )
-        return jax.jit(
-            lambda m, s, xs: jax.lax.scan(
-                functools.partial(body_fn, m), s, xs
-            )
-        )(motion, state, xs)
 
     def track_stream(
         self, key, first_frame, frame_iter, dts, camera_vectors_seq=None,
-        obs_masks=None,
+        obs_masks=None, obs_mask0=None,
     ) -> Tuple[BatchState, list]:
         """Track a sequence streamed frame by frame from the host.
 
@@ -1219,21 +1421,28 @@ class BatchTracker:
         cameras (index 0 is the template frame) — the stabilized-sequence
         workflow. ``obs_masks`` (T-1, O), aligned with ``dts``, marks
         observers with a valid image per step (see :meth:`track`).
+        ``obs_mask0`` (O,) marks observers with an image at the template
+        frame; late-starting observers get their template at their first
+        unmasked step (see :meth:`track`).
         """
-        step = jax.jit(self.step)
+        step = jax.jit(self.step, static_argnames=("init_template_for",))
         motion = self._device_motion()
         cams_default = self._device_cams()
+        viewshed = self._device_viewshed()
         cams0 = cams_default
         if camera_vectors_seq is not None:
             camera_vectors_seq = jnp.asarray(camera_vectors_seq, jnp.float32)
             cams0 = camera_vectors_seq[0]
+        mask0, boundaries = self._template_plan(obs_masks, obs_mask0)
+        template_steps = {b: obs for b, obs in boundaries}
         if obs_masks is not None:
             obs_masks = jnp.asarray(obs_masks, dtype=self.config.dtype)
         # Jitted initialization: run eagerly, every op compiles as its own
         # tiny executable (minutes through a remote-compile backend).
-        state = jax.jit(self.initialize)(
+        init = functools.partial(self.initialize, obs_mask0=mask0)
+        state = jax.jit(init)(
             key, jnp.asarray(first_frame, self.config.dtype),
-            camera_vectors=cams0, motion=motion,
+            camera_vectors=cams0, motion=motion, viewshed=viewshed,
         )
         outputs = []
         for t, (frame, dt) in enumerate(zip(frame_iter, dts), start=1):
@@ -1247,6 +1456,8 @@ class BatchTracker:
             state, out = step(
                 state, frame, jnp.asarray(dt, self.config.dtype),
                 camera_vectors=cams_t, obs_mask=mask_t, motion=motion,
+                viewshed=viewshed,
+                init_template_for=template_steps.get(t, ()),
             )
             outputs.append(out)
         return state, outputs
@@ -1290,6 +1501,14 @@ def to_tracks(datetimes, time_unit, outputs, covariances: bool = False):
     ``outputs`` come from :meth:`BatchTracker.track` (time-major); the first
     datetime corresponds to the template frame, whose state is not emitted,
     so it is filled with NaN like the reference's pre-first-observation rows.
+
+    When the outputs carry per-step validity flags (``outputs['valid']``,
+    produced whenever the tracker was built with a viewshed or by the NaN
+    check), a point whose flag drops to 0 is fault-contained the way the
+    reference contains a ``test_particles`` failure (``/root/reference/src/
+    glimpse/track/tracker.py:106-119,329,334,375-384``): its means/sigmas
+    are NaN from the failing step onward and ``Tracks.errors`` records a
+    ``ValueError`` for it; valid points get ``errors[n] = None``.
     """
     from .tracks import Tracks
 
@@ -1308,6 +1527,24 @@ def to_tracks(datetimes, time_unit, outputs, covariances: bool = False):
         full_sigmas = np.full((N, T1 + 1, 6), np.nan)
         full_sigmas[:, 1:] = np.moveaxis(sigmas, 0, 1)
         kwargs["sigmas"] = full_sigmas
+    if "valid" in outputs and outputs["valid"] is not None:
+        valid = np.moveaxis(np.asarray(outputs["valid"]), 0, 1) > 0  # (N, T-1)
+        errors = np.full(N, None, dtype=object)
+        bad_points = np.flatnonzero(~valid.all(axis=1))
+        for n in bad_points:
+            t_fail = int(np.argmin(valid[n]))  # first failing step
+            errors[n] = ValueError(
+                "Particle validity test failed at step"
+                f" {t_fail + 1}: particles on non-visible viewshed cells"
+                " or with missing (NaN) values"
+            )
+            # Reference: the exception aborts before means[i] is written,
+            # so the failing step and everything after stay NaN.
+            full_means[n, t_fail + 1:] = np.nan
+            for key in ("sigmas", "covariances"):
+                if key in kwargs:
+                    kwargs[key][n, t_fail + 1:] = np.nan
+        kwargs["errors"] = errors
     return Tracks(
         datetimes=np.asarray(datetimes), time_unit=time_unit, means=full_means,
         **kwargs,

@@ -803,7 +803,8 @@ def test_per_frame_camera_vectors_match_constant() -> None:
 
 
 def _host_lockstep_masked(frames, cam, starts, n_particles, obs_present,
-                          init_xy, init_v, accel, resample_u, sigma=0.15):
+                          init_xy, init_v, accel, resample_u, sigma=0.15,
+                          late_template_b=False, obs_present_a=None):
     """Host Tracker driven with injected noise; observer 1 present per
     ``obs_present`` (reference skip semantics via imgs=[t, None])."""
     import copy
@@ -843,12 +844,22 @@ def _host_lockstep_masked(frames, cam, starts, n_particles, obs_present,
         worker.particles = particles
         worker.initialize_weights()
         worker.initialize_template(obs=0, img=0, tile_size=(15, 15))
-        worker.initialize_template(obs=1, img=0, tile_size=(15, 15))
+        b_first = None
+        if late_template_b:
+            # Observer B has no image at the template frame: its template
+            # initializes at its first available frame, from the particle
+            # state at that step (reference tracker.py:293,335-344).
+            b_first = 1 + int(np.argmax(obs_present))
+        else:
+            worker.initialize_template(obs=1, img=0, tile_size=(15, 15))
         for t in range(1, n_frames):
             axyz = np.array([0.2, 0.2, 0.0]) * accel[t - 1, i]
             worker.particles[:, 0:3] += worker.particles[:, 3:6] + 0.5 * axyz
             worker.particles[:, 3:6] += axyz
-            imgs = [t, t if obs_present[t - 1] else None]
+            if b_first is not None and t == b_first:
+                worker.initialize_template(obs=1, img=t, tile_size=(15, 15))
+            a_ok = obs_present_a is None or obs_present_a[t - 1]
+            imgs = [t if a_ok else None, t if obs_present[t - 1] else None]
             worker.update_weights(imgs=imgs)
             w = worker.weights / worker.weights.sum()
             means[i, t - 1] = (worker.particles[:, 0:2] * w[:, None]).sum(0)
@@ -1024,3 +1035,256 @@ def test_all_observers_masked_step_carries_weights() -> None:
     carried_vals = np.unique(np.round(w_before, 6))
     masked_vals = np.unique(np.round(np.asarray(masked.weights), 6))
     assert np.isin(masked_vals, carried_vals).all()
+
+
+def test_per_step_viewshed_validity_latches() -> None:
+    """Reference parity (tracker.py:106-119,329,334): a point whose
+    particles wander onto non-visible viewshed cells MID-SEQUENCE is
+    flagged at exactly the evolve step where it happens, and to_tracks
+    fault-contains it (NaN from the failing step on, ValueError recorded)
+    while other points keep tracking."""
+    import datetime
+
+    from glimpse_tpu.track.batch import to_tracks
+
+    velocity = (2.0, 0.0)
+    n_frames = 9
+    cam, frames, _ = make_scene(n_frames=n_frames, velocity=velocity)
+    # Two points: point 0 stays visible; point 1 crosses x = 260 (the
+    # invisible half-plane) at step 5 (x_t = 250 + 2 t, order-0 cells of
+    # 10 px). Deterministic particles: zero spread, exact velocity.
+    motion = make_motion(np.array([[250.0, 200.0], [250.0, 250.0]]))
+    motion.xy_sigma = jnp.zeros((2, 2), jnp.float32)
+    motion.v_mean = jnp.asarray(
+        [[0.0, 0.0, 0.0], [velocity[0], velocity[1], 0.0]], jnp.float32
+    )
+    motion.v_sigma = jnp.zeros((2, 3), jnp.float32)
+    motion.a_sigma = jnp.zeros((2, 3), jnp.float32)
+    vs_array = np.ones((50, 50), np.float32)
+    vs_array[:, 26:] = 0.0  # world x >= 260 invisible
+    vs = Raster(vs_array, x=(0, 500), y=(500, 0))
+    tracker = BatchTracker(
+        camera_vectors=cam.to_array()[None], corrections=[None],
+        sigmas=[0.15], motion=motion,
+        config=BatchConfig(n_particles=64), viewshed=vs,
+    )
+    state, outputs = tracker.track(
+        jax.random.PRNGKey(0), frames[:, None], np.ones(n_frames - 1)
+    )
+    valid = np.asarray(outputs["valid"])  # (T-1, N)
+    assert valid.shape == (n_frames - 1, 2)
+    assert (valid[:, 0] == 1).all()
+    # Point 1: x after evolve at step t (1-based) is 250 + 2t; first
+    # x >= 260 at t = 5 -> outputs row index 4.
+    assert (valid[:4, 1] == 1).all(), valid[:, 1]
+    assert (valid[4:, 1] == 0).all(), valid[:, 1]
+    t0 = datetime.datetime(2020, 1, 1)
+    day = datetime.timedelta(days=1)
+    tracks = to_tracks(
+        [t0 + i * day for i in range(n_frames)], day, outputs
+    )
+    assert tracks.errors[0] is None
+    assert isinstance(tracks.errors[1], ValueError)
+    assert np.isfinite(tracks.means[1, 1:5]).all()
+    assert np.isnan(tracks.means[1, 5:]).all()
+    assert np.isfinite(tracks.means[0, 1:]).all()
+
+
+def test_per_step_nan_validity() -> None:
+    """NaN particle components latch the validity flag even without a
+    viewshed (reference tracker.py:117-119)."""
+    cam, frames, _ = make_scene(n_frames=4)
+    motion = make_motion(np.array([[250.0, 250.0], [240.0, 255.0]]))
+    # Point 1's acceleration mean is NaN from the start: first evolve
+    # produces NaN particles.
+    motion.a_mean = jnp.asarray(
+        [[0.0, 0.0, 0.0], [np.nan, 0.0, 0.0]], jnp.float32
+    )
+    tracker = BatchTracker(
+        camera_vectors=cam.to_array()[None], corrections=[None],
+        sigmas=[0.15], motion=motion, config=BatchConfig(n_particles=64),
+    )
+    _, outputs = tracker.track(
+        jax.random.PRNGKey(0), frames[:, None], np.ones(3)
+    )
+    valid = np.asarray(outputs["valid"])
+    assert (valid[:, 0] == 1).all()
+    assert (valid[:, 1] == 0).all()
+
+
+def test_host_tracker_viewshed_cross_validation() -> None:
+    """The host Tracker (reference semantics) errors the same mid-sequence
+    viewshed crossing that the device path flags."""
+    import datetime
+
+    from glimpse_tpu.track import CartesianMotion, Observer, Tracker
+
+    velocity = (2.0, 0.0)
+    n_frames = 9
+    cam, frames, _ = make_scene(n_frames=n_frames, velocity=velocity)
+    vs_array = np.ones((50, 50), np.float32)
+    vs_array[:, 26:] = 0.0
+    vs = Raster(vs_array, x=(0, 500), y=(500, 0))
+    t0 = datetime.datetime(2020, 1, 1)
+    day = datetime.timedelta(days=1)
+    imgsz = frames.shape[-1]
+    cx, cy = cam.xyz[0], cam.xyz[1]
+    rasters = [
+        Raster(
+            f,
+            x=(cx - imgsz / 2, cx + imgsz / 2),
+            y=(cy + imgsz / 2, cy - imgsz / 2),
+            datetime=t0 + i * day,
+        )
+        for i, f in enumerate(frames)
+    ]
+    obs = Observer(rasters, sigma=0.15)
+    models = [
+        CartesianMotion(
+            xy=(250, 200), time_unit=day, dem=0.0, dem_sigma=None, n=16,
+            xy_sigma=(0, 0), vxyz=(0, 0, 0), vxyz_sigma=(0, 0, 0),
+            axyz_sigma=(0, 0, 0),
+        ),
+        CartesianMotion(
+            xy=(250, 250), time_unit=day, dem=0.0, dem_sigma=None, n=16,
+            xy_sigma=(0, 0), vxyz=(velocity[0], velocity[1], 0),
+            vxyz_sigma=(0, 0, 0), axyz_sigma=(0, 0, 0),
+        ),
+    ]
+    tracker = Tracker(observers=[obs], viewshed=vs)
+    tracks = tracker.track(motion_models=models)
+    assert tracks.errors[0] is None
+    assert tracks.errors[1] is not None
+    assert "non-visible" in str(tracks.errors[1])
+    # Failure at evolve step 5: means written through step 4 only.
+    assert np.isfinite(tracks.means[1, :5]).all()
+    assert np.isnan(tracks.means[1, 5:]).all()
+
+
+def test_late_starting_observer_template_lockstep() -> None:
+    """Observer B first fires at step 4 of a drifting scene (~5.6 px of
+    accumulated motion): its template must anchor at that step's particle
+    state, not at sequence start (reference template_indices semantics,
+    tracker.py:293,335-344). The device obs_mask0/late-template path must
+    match the host tracker under shared draws within the masked-lockstep
+    tolerance, and beat a t0-anchored template by a wide margin."""
+    n_points, n_particles, n_frames = 3, 300, 9
+    velocity = (1.2, -0.7)
+    cam, frames, _ = make_scene(n_frames=n_frames, velocity=velocity)
+    rng = np.random.default_rng(9)
+    starts = rng.uniform(200, 300, size=(n_points, 2))
+    # Seeds chosen so the single-observer lockstep control stays tight on
+    # this scene (lockstep runs are sensitive to near-tie resample flips
+    # on weakly textured points; max 0.14 px for this draw).
+    noise_rng = np.random.default_rng(11)
+    init_xy = noise_rng.standard_normal((n_points, n_particles, 2))
+    init_v = noise_rng.standard_normal((n_points, n_particles, 3))
+    accel = noise_rng.standard_normal((n_frames - 1, n_points, n_particles, 3))
+    resample_u = noise_rng.random((n_frames - 1, n_points))
+    # B absent until step 4; afterwards A and B alternate (disjoint), so
+    # B's likelihood is the SOLE signal on its steps — any error in B's
+    # template anchoring shows directly in the lockstep.
+    obs_present = np.array([False, False, False, True, False, True, False, True])
+    obs_present_a = np.array([True, True, True, False, True, False, True, False])
+
+    host_means = _host_lockstep_masked(
+        frames, cam, starts, n_particles, obs_present,
+        init_xy, init_v, accel, resample_u, late_template_b=True,
+        obs_present_a=obs_present_a,
+    )
+
+    def run_device(obs_mask0):
+        motion = BatchMotion(
+            kind="cartesian",
+            xy=jnp.asarray(starts, jnp.float32),
+            xy_sigma=jnp.full((n_points, 2), 1.5, jnp.float32),
+            v_mean=jnp.zeros((n_points, 3), jnp.float32),
+            v_sigma=jnp.full((n_points, 3), 0.5, jnp.float32).at[:, 2].set(0.0),
+            a_mean=jnp.zeros((n_points, 3), jnp.float32),
+            a_sigma=jnp.full((n_points, 3), 0.2, jnp.float32).at[:, 2].set(0.0),
+            slope_sigma=jnp.zeros((n_points,), jnp.float32),
+            dem=DeviceRaster.constant(0.0),
+            dem_sigma=DeviceRaster.constant(0.0),
+            use_dem_sigma=False,
+        )
+        cfg = BatchConfig(
+            n_particles=n_particles, template_size=(15, 15),
+            search_size=(41, 41),
+        )
+        tracker = BatchTracker(
+            camera_vectors=np.stack([cam.to_array(), cam.to_array()]),
+            corrections=[None, None], sigmas=[0.15, 0.15],
+            motion=motion, config=cfg,
+        )
+        obs_masks = np.stack(
+            [obs_present_a.astype(float), obs_present.astype(float)], axis=1
+        )
+        images = np.repeat(frames[:, None], 2, axis=1).copy()
+        # Observer B has NO image at the template frame — the realistic
+        # late-start situation. The late-template path must never read it.
+        # (Rolled texture: an informative-but-WRONG fabricated frame.)
+        images[0, 1] = np.roll(frames[0], 10, axis=1)
+        _, outputs = tracker.track(
+            jax.random.PRNGKey(0), images,
+            np.ones(n_frames - 1, np.float32),
+            noise={
+                "init": {
+                    "xy": jnp.asarray(init_xy, jnp.float32),
+                    "v": jnp.asarray(init_v, jnp.float32),
+                },
+                "a": jnp.asarray(accel, jnp.float32),
+                "resample_u": jnp.asarray(resample_u, jnp.float32),
+            },
+            obs_masks=obs_masks, obs_mask0=obs_mask0,
+        )
+        return np.moveaxis(np.asarray(outputs["mean"])[:, :, 0:2], 0, 1)
+
+    batch_means = run_device(np.array([True, False]))
+    diff = np.linalg.norm(batch_means - host_means, axis=-1)
+    assert diff.max() < 0.25, diff.max()
+    assert np.sqrt((diff**2).mean()) < 0.1, np.sqrt((diff**2).mean())
+    # Negative control: WITHOUT the late-template plan the tracker builds
+    # B's template from the nonexistent frame-0 image (the pre-round-4
+    # behavior forced callers to fabricate one) and must diverge far.
+    stale_means = run_device(None)
+    stale_diff = np.linalg.norm(stale_means - host_means, axis=-1)
+    assert stale_diff.max() > 3 * diff.max(), (
+        stale_diff.max(), diff.max()
+    )
+
+
+def test_late_template_stream_matches_track() -> None:
+    """track_stream with obs_mask0/late templates matches the in-memory
+    segmented-scan path bit-exactly."""
+    n_frames = 7
+    cam, frames, _ = make_scene(n_frames=n_frames, velocity=(1.0, 0.5))
+    starts = np.array([[250.0, 250.0], [230.0, 260.0], [270.0, 240.0]])
+    motion = make_motion(starts)
+    cfg = BatchConfig(n_particles=128, template_size=(11, 11), search_size=(25, 25))
+    obs_present = np.array([False, True, False, True, True, True])
+    obs_masks = np.stack(
+        [np.ones(n_frames - 1), obs_present.astype(float)], axis=1
+    )
+    obs_mask0 = np.array([True, False])
+
+    def build():
+        return BatchTracker(
+            camera_vectors=np.stack([cam.to_array()] * 2),
+            corrections=[None, None], sigmas=[0.15, 0.15],
+            motion=make_motion(starts), config=cfg,
+        )
+
+    images = np.repeat(frames[:, None], 2, axis=1)
+    dts = np.ones(n_frames - 1, np.float32)
+    key = jax.random.PRNGKey(3)
+    _, out_scan = build().track(
+        key, images, dts, obs_masks=obs_masks, obs_mask0=obs_mask0
+    )
+    _, out_stream = build().track_stream(
+        key, images[0], iter(images[1:]), dts, obs_masks=obs_masks,
+        obs_mask0=obs_mask0,
+    )
+    stream_means = np.stack([np.asarray(o["mean"]) for o in out_stream])
+    np.testing.assert_allclose(
+        np.asarray(out_scan["mean"]), stream_means, atol=1e-3
+    )  # one fused program vs per-step jit: fusion-order float noise
