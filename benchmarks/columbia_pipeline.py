@@ -187,6 +187,7 @@ def stabilize(renderer, true_viewdirs, workdir: str, steps=None, tag=""):
         model.build_keypoints(
             masks=[mask] * len(images), clear_images=True, detector="device",
             nfeatures=int(os.environ.get("PIPELINE_NFEATURES", "2048")),
+            refine=os.environ.get("PIPELINE_REFINE", "bilinear"),
         )
     else:
         # nfeatures caps host SIFT to the best-n keypoints per image:

@@ -116,6 +116,7 @@ def _octave_detect(
     contrast_threshold: float,
     edge_ratio: float,
     border: int,
+    refine: str = "bilinear",
 ):
     """Detect + describe within one octave.
 
@@ -169,8 +170,7 @@ def _octave_detect(
     score = jnp.where(in_border, score, 0.0)
     if mask is not None:
         score = score * mask[:, None]
-    # Dense subpixel offsets: FULL 3x3 (x, y, scale) Newton step
-    # -H^-1 grad, exactly SIFT's quadratic fit but computed densely.
+    # Scale-axis derivatives for the FULL 3x3 (x, y, scale) Newton fit.
     # The scale axis is load-bearing: under small anisotropic scale
     # changes (pitch-induced foreshortening between frames) the extremum
     # drifts along scale, and a spatial-only fit converts that drift
@@ -207,10 +207,6 @@ def _octave_detect(
         os_ = jnp.clip(-(a13 * gdx + a23 * gdy + a33 * gds) / safe, -0.6, 0.6)
         return ox, oy, os_
 
-    off_x, off_y, _ = _newton3(
-        (dx, dy, ds), (dxx, dyy, dss, dxy, dxs, dys)
-    )
-
     flat = score.reshape(B, -1)
     top_scores, top_idx = jax.lax.top_k(flat, quota)  # (B, quota)
     valid = top_scores > 0
@@ -218,34 +214,94 @@ def _octave_detect(
     rem = top_idx - lvl * (H * W)
     iy = rem // W
     ix = rem - iy * W
-    # Sample the dense offset maps at the winners (fused channel gather:
-    # both offsets ride one row gather).
-    off = jnp.stack([off_x, off_y], axis=-1).reshape(B, -1, 2)
-    off_sel = jnp.take_along_axis(off, top_idx[..., None], axis=1)
-    fx = ix + off_sel[..., 0]
-    fy = iy + off_sel[..., 1]
-    # Second Newton iteration with the nine derivative maps RESAMPLED at
-    # the refined location: the DoG is not a quadratic, so the one-step
-    # fit retains a texture-phase-dependent bias that does not average
-    # out across a stabilization chain. The level stack is addressed as
-    # one tall (S*H, W) image; the inner y-clip keeps the bilinear
-    # support inside the keypoint's own level.
     deriv = jnp.stack(
-        [dx, dy, ds, dxx, dyy, dss, dxy, dxs, dys], axis=-1
-    )  # (B, S, H, W, 9)
-    dflat = deriv.reshape(B, n_scales * H * W, 9)
-    d9 = jax.vmap(
-        lambda df, lv, yy2, xx2: _fused_bilinear_rows(
-            df, W, n_scales * H, lv * H + jnp.clip(yy2, 1.0, H - 2.0),
-            jnp.clip(xx2, 1.0, W - 2.0),
+        [dx, dy, ds, dxx, dyy, dss, dxy, dxs, dys, center], axis=-1
+    )  # (B, S, H, W, 10); channel 9 = D (for the contrast recheck)
+    dflat = deriv.reshape(B, n_scales * H * W, 10)
+
+    if refine == "lattice":
+        # Iterated LATTICE Newton (cv2 SIFT's adjustLocalExtrema
+        # semantics): fit the 3D quadratic from EXACT grid derivatives at
+        # the current lattice point; while the fitted extremum falls
+        # outside the center cell, move to the rounded neighbor and
+        # refit. No interpolation of the derivative maps at all, plus
+        # cv2's interpolated-contrast recheck.
+        px, py, ps = ix, iy, lvl  # current lattice point (int32)
+        off_xyz = None
+        for _ in range(5):  # cv2 SIFT_MAX_INTERP_STEPS
+            lin = (ps * H + py) * W + px
+            d10 = jax.vmap(lambda df, i: jnp.take(df, i, axis=0))(
+                dflat, lin
+            )  # (B, quota, 10) — exact lattice derivatives, one row gather
+            ox, oy, os_ = _newton3(
+                tuple(d10[..., i] for i in range(3)),
+                tuple(d10[..., i] for i in range(3, 9)),
+            )
+            inside = (
+                (jnp.abs(ox) < 0.5)
+                & (jnp.abs(oy) < 0.5)
+                & (jnp.abs(os_) < 0.5)
+            )
+            off_xyz = (ox, oy, os_, d10)
+            # Move unconverged keypoints to the rounded neighbor, clamped
+            # to the valid interior; converged ones stay put.
+            step = lambda o: jnp.clip(jnp.round(o), -1, 1).astype(jnp.int32)
+            px = jnp.where(
+                inside, px, jnp.clip(px + step(ox), border, W - 1 - border)
+            )
+            py = jnp.where(
+                inside, py, jnp.clip(py + step(oy), border, H - 1 - border)
+            )
+            ps = jnp.where(
+                inside, ps, jnp.clip(ps + step(os_), 0, n_scales - 1)
+            )
+        ox, oy, os_, d10 = off_xyz
+        # cv2 discards keypoints whose final fit still leaves the cell and
+        # those whose interpolated contrast falls below threshold:
+        # |D + 0.5 * g . x| >= contrast_threshold.
+        converged = (
+            (jnp.abs(ox) < 0.6) & (jnp.abs(oy) < 0.6) & (jnp.abs(os_) < 0.6)
         )
-    )(dflat, lvl.astype(jnp.float32), fy, fx)  # (B, quota, 9)
-    step_x, step_y, _ = _newton3(
-        tuple(d9[..., i] for i in range(3)),
-        tuple(d9[..., i] for i in range(3, 9)),
-    )
-    fx = fx + jnp.clip(step_x, -0.5, 0.5)
-    fy = fy + jnp.clip(step_y, -0.5, 0.5)
+        d_hat = d10[..., 9] + 0.5 * (
+            d10[..., 0] * ox + d10[..., 1] * oy + d10[..., 2] * os_
+        )
+        valid = valid & converged & (jnp.abs(d_hat) >= contrast_threshold)
+        top_scores = jnp.where(valid, jnp.abs(d_hat), 0.0)
+        fx = px.astype(jnp.float32) + jnp.clip(ox, -0.6, 0.6)
+        fy = py.astype(jnp.float32) + jnp.clip(oy, -0.6, 0.6)
+        lvl = ps
+    else:  # "bilinear": dense one-step Newton + resampled second iteration
+        # Dense subpixel offsets: FULL 3x3 (x, y, scale) Newton step
+        # -H^-1 grad, exactly SIFT's quadratic fit but computed densely,
+        # then ONE more Newton iteration with the nine derivative maps
+        # bilinearly RESAMPLED at the refined location (the DoG is not a
+        # quadratic, so the one-step fit retains a texture-phase bias the
+        # second iteration halves). Measured (benchmarks/detector_bias.py,
+        # stabilize_probe.py): lower variance than the lattice walk on
+        # smooth natural texture — bilinear's phase smoothing is milder
+        # than the lattice fit's truncation error at these scales.
+        off_x, off_y, _ = _newton3(
+            (dx, dy, ds), (dxx, dyy, dss, dxy, dxs, dys)
+        )
+        off = jnp.stack([off_x, off_y], axis=-1).reshape(B, -1, 2)
+        off_sel = jnp.take_along_axis(off, top_idx[..., None], axis=1)
+        fx = ix + off_sel[..., 0]
+        fy = iy + off_sel[..., 1]
+        # The level stack is addressed as one tall (S*H, W) image; the
+        # inner y-clip keeps the bilinear support inside the keypoint's
+        # own level.
+        d9 = jax.vmap(
+            lambda df, lv, yy2, xx2: _fused_bilinear_rows(
+                df, W, n_scales * H, lv * H + jnp.clip(yy2, 1.0, H - 2.0),
+                jnp.clip(xx2, 1.0, W - 2.0),
+            )
+        )(dflat[..., :9], lvl.astype(jnp.float32), fy, fx)  # (B, quota, 9)
+        step_x, step_y, _ = _newton3(
+            tuple(d9[..., i] for i in range(3)),
+            tuple(d9[..., i] for i in range(3, 9)),
+        )
+        fx = fx + jnp.clip(step_x, -0.5, 0.5)
+        fy = fy + jnp.clip(step_y, -0.5, 0.5)
 
     # ---- Descriptors: blurred orientation-bin maps per center level ----
     k_geo = 2.0 ** (1.0 / n_scales)
@@ -301,7 +357,7 @@ def _octave_detect(
     static_argnames=(
         "nfeatures", "n_octaves", "n_scales", "sigma0",
         "contrast_threshold", "edge_ratio", "border", "has_mask",
-        "upsample",
+        "upsample", "refine",
     ),
 )
 def _detect_batch(
@@ -316,6 +372,7 @@ def _detect_batch(
     border: int = 8,
     has_mask: bool = False,
     upsample: bool = True,
+    refine: str = "bilinear",
 ):
     """Detect + describe on a batch: (B, H, W) uint8/float -> fixed-K arrays.
 
@@ -369,7 +426,7 @@ def _detect_batch(
             mo = (mo > 0.5).astype(jnp.float32)
         fy, fx, lvl, score, desc, valid = _octave_detect(
             gauss, mo, quotas[o], n_scales, sigma0,
-            contrast_threshold, edge_ratio, border,
+            contrast_threshold, edge_ratio, border, refine=refine,
         )
         scale_mult = float(2 ** o) * coord_scale
         # resize uses half-pixel centers: upsampled coordinate u lies at
