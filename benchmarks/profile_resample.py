@@ -65,30 +65,31 @@ def s4(ll, particles):
     return pw.sum() + m.sum() + var.sum()
 
 
-prev = 0.0
-for name, fn, args in [
-    ("exp/weights", s1, (ll,)),
-    ("+resample idx", s2, (ll,)),
-    ("+gather", s3, (ll, particles)),
-    ("+moments", s4, (ll, particles)),
-]:
-    t = bench(fn, *args)
-    print("%-15s cum %8.2f   delta %8.2f ms" % (name, t, t - prev))
-    prev = t
+if not os.environ.get("PROF_KERNEL_ONLY"):
+    prev = 0.0
+    for name, fn, args in [
+        ("exp/weights", s1, (ll,)),
+        ("+resample idx", s2, (ll,)),
+        ("+gather", s3, (ll, particles)),
+        ("+moments", s4, (ll, particles)),
+    ]:
+        t = bench(fn, *args)
+        print("%-15s cum %8.2f   delta %8.2f ms" % (name, t, t - prev))
+        prev = t
 
-# Raw primitive probes.
-vals = jnp.asarray(rng.random((N, 2 * P)).astype(np.float32))
-iota = jax.lax.broadcasted_iota(jnp.int32, (N, 2 * P), 1)
-print("raw lax.sort (N,2P) f32+i32 payload: %8.2f ms" % bench(
-    lambda v: jax.lax.sort((v, iota), dimension=-1, num_keys=1)[1].sum(), vals))
-print("raw argsort (N,2P):                  %8.2f ms" % bench(
-    lambda v: jnp.argsort(v, axis=-1, stable=True).sum(), vals))
-idxs = jnp.asarray(rng.integers(0, P, size=(N, P)).astype(np.int32))
-pw7 = jnp.asarray(rng.normal(size=(N, P, 7)).astype(np.float32))
-print("raw take_along_axis (N,P,7):         %8.2f ms" % bench(
-    lambda x, i: jnp.take_along_axis(x, i[..., None], 1).sum(), pw7, idxs))
-print("raw cumsum (N,P):                    %8.2f ms" % bench(
-    lambda v: jnp.cumsum(v[:, :P], -1).sum(), vals))
+    # Raw primitive probes.
+    vals = jnp.asarray(rng.random((N, 2 * P)).astype(np.float32))
+    iota = jax.lax.broadcasted_iota(jnp.int32, (N, 2 * P), 1)
+    print("raw lax.sort (N,2P) f32+i32 payload: %8.2f ms" % bench(
+        lambda v: jax.lax.sort((v, iota), dimension=-1, num_keys=1)[1].sum(), vals))
+    print("raw argsort (N,2P):                  %8.2f ms" % bench(
+        lambda v: jnp.argsort(v, axis=-1, stable=True).sum(), vals))
+    idxs = jnp.asarray(rng.integers(0, P, size=(N, P)).astype(np.int32))
+    pw7 = jnp.asarray(rng.normal(size=(N, P, 7)).astype(np.float32))
+    print("raw take_along_axis (N,P,7):         %8.2f ms" % bench(
+        lambda x, i: jnp.take_along_axis(x, i[..., None], 1).sum(), pw7, idxs))
+    print("raw cumsum (N,P):                    %8.2f ms" % bench(
+        lambda v: jnp.cumsum(v[:, :P], -1).sum(), vals))
 
 
 # ---- Fused-kernel variant sweep (PROF_KERNEL=1) ---- #
@@ -112,9 +113,14 @@ if os.environ.get("PROF_KERNEL"):
             return sum(o.sum() for o in outs)
         return bench(f, t_tab, cols, reps=5)
 
-    base = None
-    for layout, window, chunk, pb in [
-        ("mxu_rows", 256, 128, 8),    # production default
+    configs = [
+        ("mxu_rows", 256, 128, 8),    # round-3 production default
+        ("mxu_shared", 256, 128, 8),
+        ("mxu_shared", 256, 128, 16),
+        ("mxu_shared", 256, 128, 32),
+        ("mxu_shared", 384, 128, 16),
+        ("mxu_shared", 384, 256, 16),
+        ("mxu_shared", 512, 256, 32),
         ("mxu_rows", 256, 128, 16),
         ("mxu_rows", 256, 128, 32),
         ("mxu_rows", 384, 256, 8),
@@ -125,7 +131,10 @@ if os.environ.get("PROF_KERNEL"):
         ("mxu_rows", 512, 384, 16),
         ("mxu_rows", 768, 384, 16),
         ("direct", 256, 128, 8),
-    ]:
+    ]
+    limit = int(os.environ.get("PROF_MAX_CONFIGS", len(configs)))
+    base = None
+    for layout, window, chunk, pb in configs[:limit]:
         try:
             t = run(layout, window, chunk, pb)
         except Exception as e:  # Mosaic limits at some shapes
@@ -134,4 +143,4 @@ if os.environ.get("PROF_KERNEL"):
         if base is None:
             base = t
         print(f"kernel {layout} W={window} C={chunk} G={pb}: {t:8.2f} ms "
-              f"({base / t:.2f}x vs default)")
+              f"({base / t:.2f}x vs default)", flush=True)

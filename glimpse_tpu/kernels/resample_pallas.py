@@ -360,6 +360,91 @@ def _kernel_mxu_rows(P: int, P_real: int, W: int, K: int, C: int, G: int,
                 out_refs[k][g : g + 1, c0 : c0 + C] = accs[k : k + 1, :].astype(out_refs[k].dtype)
 
 
+def _kernel_mxu_shared(P: int, P_real: int, W: int, K: int, C: int, G: int,
+                       t_ref, tm1_ref, *refs):
+    """Shared-scalar variant: ONE scalar section per (block, chunk).
+
+    At production shapes the mxu_rows kernel is bound not by its vector
+    compares (~10 ms of VPU work) but by the N * P/C per-(point, chunk)
+    scalar sections — each with its own bracket reads, dynamic window
+    base, and round cond (~164k scalar loop iterations at 10,240 x
+    2,048). This layout swaps the loop nest: the chunk loop is OUTER and
+    the G points of the grid block share a single window base per chunk,
+    taken from the min/max of their brackets. Scalar sections drop G-fold
+    (N/G * P/C); the per-point hit compares and (K, W) @ (W, C) MXU
+    selections are unchanged and still exact.
+
+    Cost model: a block whose G points have similar weight ladders (the
+    common case — near-uniform post-resample weights put every point's
+    bracket near the chunk diagonal) still runs one round per chunk; a
+    block mixing a degenerate row with uniform rows widens the shared
+    span and pays extra rounds, bounded by the same fori_loop fallback.
+    """
+    col_refs = refs[:K]
+    out_refs = refs[K : K + K]
+    nch = P // C
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+    last_blk = (P - W) // 128
+    wblk = W // 128
+
+    t_full = t_ref[...]  # (G, P) — loaded once, reused by every bracket
+    for ci, c0 in enumerate(range(0, P, C)):
+        jg_f = (
+            c0 + jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)
+        ).astype(jnp.float32)
+        lo_cnt = jnp.sum((t_full < float(c0)).astype(jnp.int32), axis=1)
+        hi_cnt = jnp.sum(
+            (t_full < float(c0 + C - 1)).astype(jnp.int32), axis=1
+        )
+        s = jnp.min(lo_cnt)  # shared bracket start (block min)
+        e = jnp.max(hi_cnt)  # shared bracket end (block max)
+        b0_blk = s // 128
+        b0 = b0_blk * 128
+
+        def select_round(r, accs):
+            sr = jnp.minimum(b0_blk + r * wblk, last_blk) * 128
+            win = t_ref[:, pl.ds(sr, W)]  # (G, W) — one load for the block
+            winm1 = tm1_ref[:, pl.ds(sr, W)]  # (G, W)
+            gidx = sr + iota_w
+            lo = b0 + r * W
+            row_ok = (gidx >= lo) & (gidx < jnp.minimum(lo + W, P_real))
+            clipped = gidx == P_real - 1
+            cwins = [col_refs[k][:, pl.ds(sr, W)] for k in range(K)]  # (G, W)
+            out = []
+            for g in range(G):
+                lo_eff = jnp.where(row_ok, winm1[g : g + 1, :], jnp.inf)
+                hi_eff = jnp.where(clipped, jnp.inf, win[g : g + 1, :])
+                hit = (lo_eff < jg_f) & (hi_eff >= jg_f)  # (C, W)
+                hitf = hit.astype(jnp.float32)
+                colmat = jnp.concatenate(
+                    [cwins[k][g : g + 1, :] for k in range(K)], axis=0
+                ).astype(jnp.float32)  # (K, W)
+                sel = jax.lax.dot_general(
+                    colmat,
+                    hitf,
+                    (((1,), (1,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32,
+                )  # (K, C) — exact: one nonzero per output column
+                out.append(accs[g] + sel)
+            return tuple(out)
+
+        n_rounds = (e + 1 - b0) // W + 1
+        accs = tuple(jnp.zeros((K, C), jnp.float32) for _ in range(G))
+        accs = select_round(0, accs)
+        accs = jax.lax.cond(
+            n_rounds > 1,
+            lambda a: jax.lax.fori_loop(1, n_rounds, select_round, a),
+            lambda a: a,
+            accs,
+        )
+        for g in range(G):
+            for k in range(K):
+                out_refs[k][g : g + 1, c0 : c0 + C] = accs[g][
+                    k : k + 1, :
+                ].astype(out_refs[k].dtype)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("window", "interpret", "chunk", "layout", "points_block"),
@@ -407,12 +492,25 @@ def systematic_resample_gather(
     col_spec = pl.BlockSpec(
         (Pp, _G_OUT), lambda i: (0, i // (_G_OUT // _G_IN))
     )
-    if layout == "mxu_rows":
+    if layout in ("mxu_rows", "mxu_shared"):
         # Shifted threshold row: tm1[i] = t[i-1], with -1 (below every
         # output index) in front. Built once on the XLA side so both
         # windows load at the same lane-aligned offsets in the kernel.
         tm1 = jnp.pad(t[:, :-1], ((0, 0), (1, 0)), constant_values=-1.0)
         g_spec = pl.BlockSpec((G, Pp), lambda i: (i, 0))
+        if layout == "mxu_shared":
+            kern = functools.partial(_kernel_mxu_shared, Pp, P, W, K, C, G)
+            outs = pl.pallas_call(
+                kern,
+                grid=(Np // G,),
+                in_specs=[g_spec] * (2 + K),
+                out_specs=[g_spec] * K,
+                out_shape=[
+                    jax.ShapeDtypeStruct((Np, Pp), c.dtype) for c in cols
+                ],
+                interpret=interpret,
+            )(t, tm1, *cols)
+            return [o[:N, :P] for o in outs]
         kern = functools.partial(_kernel_mxu_rows, Pp, P, W, K, C, G)
         outs = pl.pallas_call(
             kern,

@@ -188,6 +188,15 @@ def test_fused_resample_kernel_exact() -> None:
         )
         for k in range(K):
             assert (np.asarray(outg[k]) == np.asarray(out[k])).all(), pb
+    # Every kernel layout is bit-identical (mxu_shared trades per-point
+    # scalar sections for a shared per-block window; direct/lanes are the
+    # reference layouts).
+    for layout in ("mxu_shared", "direct", "lanes"):
+        outl = systematic_resample_gather(
+            t, cols, interpret=True, layout=layout
+        )
+        for k in range(K):
+            assert (np.asarray(outl[k]) == np.asarray(out[k])).all(), layout
 
 
 def test_batch_tracker_pallas_resample_ess_threshold() -> None:
