@@ -13,7 +13,12 @@ multi-camera Columbia Glacier imagery" processed on a workstation
 separately in examples/stabilize_sequence.py.
 
 Run: python benchmarks/columbia_scale.py   (real TPU, ~5-10 min)
-Env: COLUMBIA_POINTS (10240), COLUMBIA_PARTICLES (512), COLUMBIA_FRAMES (1000)
+Env: COLUMBIA_POINTS (10240), COLUMBIA_PARTICLES (512), COLUMBIA_FRAMES (1000),
+     COLUMBIA_CHUNK (8) — frames uploaded per device dispatch; chunk>1 runs
+     one jitted ``lax.scan`` per chunk, amortizing the ~30 ms per-dispatch
+     RPC tax of the tunneled backend (measured 12% of the step at the
+     north-star shape). The north star itself (BASELINE.md: 10k points x 2k
+     particles x 1,000 frames) is this script with COLUMBIA_PARTICLES=2048.
 """
 import json
 import os
@@ -42,6 +47,7 @@ def main() -> None:
     N = int(os.environ.get("COLUMBIA_POINTS", 10240))
     P = int(os.environ.get("COLUMBIA_PARTICLES", 512))
     T = int(os.environ.get("COLUMBIA_FRAMES", 1000))
+    CHUNK = int(os.environ.get("COLUMBIA_CHUNK", 8))
     IMG = 512
     # px/frame: total drift over T frames must stay inside the start margin
     # (IMG/4) or tracked features exit the camera frame.
@@ -90,11 +96,16 @@ def main() -> None:
     # (remote-AOT compile times through the tunnel vary 10-30x run to run;
     # keep them out of the timed region).
     t0 = time.perf_counter()
+    # Warm both chunk programs: the full-size chunk AND the trailing
+    # remainder (T-1 rarely divides by CHUNK).
+    rem = (T - 1) % CHUNK if CHUNK > 1 else 0
+    n_warm = max(CHUNK, 1) + rem
     _, warm = tracker.track_stream(
-        jax.random.PRNGKey(1), frame(0), iter([frame(1)]),
-        np.ones(1, np.float32),
+        jax.random.PRNGKey(1), frame(0),
+        iter([frame(1 + i) for i in range(n_warm)]),
+        np.ones(n_warm, np.float32), chunk=CHUNK,
     )
-    np.asarray(warm[-1]["mean"][0, 0])
+    np.asarray(warm[-1]["mean"])
     compile_s = time.perf_counter() - t0
 
     start = time.perf_counter()
@@ -103,8 +114,11 @@ def main() -> None:
         frame(0),
         (frame(i) for i in range(1, T)),
         np.ones(T - 1, np.float32),
+        chunk=CHUNK,
     )
     final_mean = np.asarray(outputs[-1]["mean"])  # force completion
+    if CHUNK > 1:
+        final_mean = final_mean[-1]  # chunked entries carry a time axis
     elapsed = time.perf_counter() - start
 
     # Frames translate by +velocity; world x tracks +vx, world y = -image row.
