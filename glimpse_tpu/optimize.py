@@ -181,6 +181,48 @@ class Lines(Points):
         )
         return candidates[d2.argmin(axis=1)]
 
+    def _world_candidates(self, budget: int = 4096) -> np.ndarray:
+        """Fixed world-space densification for the autodiff Jacobian path.
+
+        The host ``predicted`` pipeline densifies AFTER projection and
+        clipping (data-dependent shapes, reference optimize.py:320-353);
+        the traceable path fixes the candidate set in WORLD space
+        instead: each polyline segment gets points in proportion to its
+        projected image length under the current camera (target spacing
+        ~1/density px), capped at ``budget`` points total. Projecting
+        these fixed points is differentiable; visibility and the
+        nearest-candidate assignment are resolved with masks inside the
+        traced residual (the assignment is held fixed under
+        differentiation — the standard ICP-style semi-smooth Jacobian,
+        which is also what finite differences of the host path measure
+        away from assignment switches).
+        """
+        segs: List[Tuple[np.ndarray, np.ndarray]] = []
+        want: List[float] = []
+        for xyz in self.xyzs:
+            xyz = np.asarray(xyz, dtype=float)
+            uv = self.cam.xyz_to_uv(xyz, directions=self.directions)
+            d = np.linalg.norm(np.diff(uv, axis=0), axis=1)
+            # Behind-camera segments keep a nominal count: they are
+            # masked while invisible but can swing into view mid-fit.
+            d = np.where(np.isfinite(d), d, 32.0)
+            for i in range(len(xyz) - 1):
+                segs.append((xyz[i], xyz[i + 1]))
+                want.append(max(float(d[i]) * self.density, 1.0))
+        counts = np.maximum(np.ceil(np.asarray(want)).astype(int), 1)
+        total = int(counts.sum()) + len(self.xyzs)
+        if total > budget:
+            scale = (budget - len(self.xyzs)) / max(counts.sum(), 1)
+            counts = np.maximum((counts * scale).astype(int), 1)
+        pts = []
+        for (a, b), c in zip(segs, counts):
+            frac = np.arange(c, dtype=float)[:, None] / c
+            pts.append(a[None, :] + (b - a)[None, :] * frac)
+        # Closing endpoints (one per polyline).
+        for xyz in self.xyzs:
+            pts.append(np.asarray(xyz, dtype=float)[-1:])
+        return np.concatenate(pts, axis=0)
+
     def _scale(self, scale: np.ndarray) -> None:
         if np.any(scale != 1):
             self.uvs = [uv * scale for uv in self.uvs]
@@ -887,13 +929,14 @@ class Cameras:
     def _autodiff_supported(self) -> bool:
         """Whether every control has a JAX-traceable residual.
 
-        ``Lines`` is excluded (its prediction re-clips and re-densifies
-        polylines and re-solves a nearest-neighbor assignment, all with
-        data-dependent shapes); ``RotationMatchesXYZ`` has no ``observed``
-        (it exists only for :class:`ObserverCameras`).
+        All reference control types are covered — ``Lines`` through the
+        fixed-budget world densification + masked nearest-candidate
+        assignment (:meth:`Lines._world_candidates`). Only
+        ``RotationMatchesXYZ`` is excluded: it has no ``observed`` (it
+        exists only for :class:`ObserverCameras`).
         """
         for control in self.controls:
-            if isinstance(control, (Lines, RotationMatchesXYZ)):
+            if isinstance(control, RotationMatchesXYZ):
                 return False
             if not isinstance(control, (Points, Matches)):
                 return False
@@ -990,6 +1033,48 @@ class Cameras:
                         vs[j0], rays, directions=True, xp=jnp
                     )
                     return pred - uv0
+
+            elif isinstance(control, Lines):
+                j = row_of(control.cam)
+                world = jnp.asarray(control._world_candidates())
+                uv_obs = jnp.asarray(control.uv)
+                l_directions = control.directions
+                l_corr = (
+                    None if l_directions else control.cam._correction_tuple
+                )
+
+                def term(vs, j=j, world=world, uv_obs=uv_obs,
+                         directions=l_directions, corr=l_corr):
+                    # Project the FIXED world candidates; resolve
+                    # visibility + nearest assignment with masks (the
+                    # traceable form of project->clip->densify->NN,
+                    # reference optimize.py:320-376).
+                    uvc = proj.project(
+                        vs[j], world, directions=directions,
+                        correction=corr, xp=jnp,
+                    )  # (M, 2)
+                    finite = jnp.isfinite(uvc[:, 0]) & jnp.isfinite(
+                        uvc[:, 1]
+                    )
+                    uvc = jnp.where(finite[:, None], uvc, 1e9)
+                    imgsz = vs[j][6:8]
+                    inside = (
+                        finite
+                        & (uvc[:, 0] >= 0) & (uvc[:, 0] <= imgsz[0])
+                        & (uvc[:, 1] >= 0) & (uvc[:, 1] <= imgsz[1])
+                    )
+                    # Reference fallback: if clipping leaves nothing in
+                    # frame, match against the in-front runs raw.
+                    use = jnp.where(jnp.any(inside), inside, finite)
+                    d2 = jnp.sum(
+                        (uv_obs[:, None, :] - uvc[None, :, :]) ** 2,
+                        axis=-1,
+                    )
+                    d2 = jnp.where(use[None, :], d2, jnp.inf)
+                    nearest = jnp.take(
+                        uvc, jnp.argmin(d2, axis=1), axis=0
+                    )
+                    return nearest - uv_obs
 
             else:  # Points (absolute or directions)
                 j = row_of(control.cam)
