@@ -44,17 +44,37 @@ def run_variant(renderer, true_viewdirs, variant: str):
         os.environ.clear()
         os.environ.update(env)
     err = cp._rotation_errors(recovered, true_viewdirs)
+    if os.environ.get("PROBE_DUMP"):
+        np.savez(
+            os.path.join(os.environ["PROBE_DUMP"], f"probe_{variant}.npz"),
+            recovered=recovered, true=np.asarray(true_viewdirs),
+        )
+    # Error growth along the anchor chain + signed per-axis drift: an
+    # accumulating per-hop bias shows as error rising with frame index
+    # and a consistent sign in the (yaw, pitch, roll) residual.
+    T = len(err)
+    q = max(T // 4, 1)
+    segs = [round(float(err[i : i + q].mean()), 5) for i in range(0, T, q)]
+    dvd = np.asarray(recovered, float) - np.asarray(true_viewdirs, float)
+    tail = dvd[-q:].mean(axis=0)
     return {
         "variant": variant,
         "pairs": int(n_pairs),
         "rot_max_deg": round(float(err.max()), 5),
         "rot_mean_deg": round(float(err.mean()), 5),
+        "err_by_quarter": segs,
+        "tail_bias_ypr_deg": [round(float(v), 5) for v in tail],
         "detect_s": timings.get("detect_s"),
     }
 
 
 def main() -> None:
     T = int(os.environ.get("PROBE_FRAMES", 24))
+    if os.environ.get("PROBE_VEL"):
+        # Freeze (or override) the glacier drift: the discriminating
+        # control for content leaking across the mask boundary into
+        # detection/descriptor support.
+        cp.VEL = tuple(float(v) for v in os.environ["PROBE_VEL"].split(","))
     variants = sys.argv[1:] or ["host", "bilinear", "lattice"]
     rng = np.random.default_rng(42)
     true_viewdirs = np.tile(np.asarray(cp.CAM_VIEWDIR), (T, 1))

@@ -49,8 +49,13 @@ except ImportError:  # pragma: no cover
     jnp = None
 
 
+import os as _os
+
+_GAUSS_RADIUS = float(_os.environ.get("GLIMPSE_GAUSS_RADIUS", "3.0"))
+
+
 def _gauss_kernel(sigma: float) -> np.ndarray:
-    radius = max(1, int(math.ceil(3.0 * sigma)))
+    radius = max(1, int(math.ceil(_GAUSS_RADIUS * sigma)))
     x = np.arange(-radius, radius + 1, dtype=np.float64)
     k = np.exp(-0.5 * (x / sigma) ** 2)
     return (k / k.sum()).astype(np.float32)
@@ -116,7 +121,7 @@ def _octave_detect(
     contrast_threshold: float,
     edge_ratio: float,
     border: int,
-    refine: str = "bilinear",
+    refine: str = "lattice",
 ):
     """Detect + describe within one octave.
 
@@ -219,6 +224,39 @@ def _octave_detect(
     )  # (B, S, H, W, 10); channel 9 = D (for the contrast recheck)
     dflat = deriv.reshape(B, n_scales * H * W, 10)
 
+    def _resampled_step(fx0, fy0, lv):
+        """One Newton iteration with the nine derivative maps bilinearly
+        resampled at (fx0, fy0) on level ``lv`` — the DoG is not a
+        quadratic, so iterating on interpolated derivatives removes the
+        texture-phase bias a single lattice fit retains. The level stack
+        is addressed as one tall (S*H, W) image; the inner y-clip keeps
+        the bilinear support inside the keypoint's own level."""
+        d9 = jax.vmap(
+            lambda df, lv2, yy2, xx2: _fused_bilinear_rows(
+                df, W, n_scales * H, lv2 * H + jnp.clip(yy2, 1.0, H - 2.0),
+                jnp.clip(xx2, 1.0, W - 2.0),
+            )
+        )(dflat[..., :9], lv.astype(jnp.float32), fy0, fx0)  # (B, quota, 9)
+        step_x, step_y, _ = _newton3(
+            tuple(d9[..., i] for i in range(3)),
+            tuple(d9[..., i] for i in range(3, 9)),
+        )
+        return (
+            fx0 + jnp.clip(step_x, -0.5, 0.5),
+            fy0 + jnp.clip(step_y, -0.5, 0.5),
+        )
+
+    def _dense_refine():
+        """'bilinear' refinement: dense one-step 3D Newton (-H^-1 grad,
+        exactly SIFT's quadratic fit but computed densely and sampled at
+        the selected keypoints) + one resampled second iteration."""
+        off_x, off_y, _ = _newton3(
+            (dx, dy, ds), (dxx, dyy, dss, dxy, dxs, dys)
+        )
+        off = jnp.stack([off_x, off_y], axis=-1).reshape(B, -1, 2)
+        off_sel = jnp.take_along_axis(off, top_idx[..., None], axis=1)
+        return _resampled_step(ix + off_sel[..., 0], iy + off_sel[..., 1], lvl)
+
     if refine == "lattice":
         # Iterated LATTICE Newton (cv2 SIFT's adjustLocalExtrema
         # semantics): fit the 3D quadratic from EXACT grid derivatives at
@@ -256,52 +294,42 @@ def _octave_detect(
                 inside, ps, jnp.clip(ps + step(os_), 0, n_scales - 1)
             )
         ox, oy, os_, d10 = off_xyz
-        # cv2 discards keypoints whose final fit still leaves the cell and
-        # those whose interpolated contrast falls below threshold:
-        # |D + 0.5 * g . x| >= contrast_threshold.
+        # cv2 discards keypoints whose final fit still leaves the cell
+        # (adjustLocalExtrema returns false after SIFT_MAX_INTERP_STEPS
+        # with any |offset| >= 0.5). The strict 0.5 matters: a broad
+        # extremum can OSCILLATE between two lattice cells, ending with
+        # |offset| ~ 0.55 — accepting it mislocalizes by half a cell
+        # (x 2^octave image pixels). Instead of discarding oscillators
+        # (cv2's recall loss), unconverged keypoints fall back to the
+        # dense+resampled refinement from the ORIGINAL candidate, which
+        # localizes broad extrema to <0.01 px where the walk cannot
+        # settle (tests/test_features.py::test_blob_localization).
         converged = (
-            (jnp.abs(ox) < 0.6) & (jnp.abs(oy) < 0.6) & (jnp.abs(os_) < 0.6)
+            (jnp.abs(ox) < 0.5) & (jnp.abs(oy) < 0.5) & (jnp.abs(os_) < 0.5)
         )
+        # cv2's interpolated-contrast recheck:
+        # |D + 0.5 * g . x| >= contrast_threshold.
         d_hat = d10[..., 9] + 0.5 * (
             d10[..., 0] * ox + d10[..., 1] * oy + d10[..., 2] * os_
         )
-        valid = valid & converged & (jnp.abs(d_hat) >= contrast_threshold)
+        valid = valid & (jnp.abs(d_hat) >= contrast_threshold)
         top_scores = jnp.where(valid, jnp.abs(d_hat), 0.0)
-        fx = px.astype(jnp.float32) + jnp.clip(ox, -0.6, 0.6)
-        fy = py.astype(jnp.float32) + jnp.clip(oy, -0.6, 0.6)
-        lvl = ps
+        fx_b, fy_b = _dense_refine()
+        fx = jnp.where(
+            converged, px.astype(jnp.float32) + jnp.clip(ox, -0.5, 0.5), fx_b
+        )
+        fy = jnp.where(
+            converged, py.astype(jnp.float32) + jnp.clip(oy, -0.5, 0.5), fy_b
+        )
+        lvl = jnp.where(converged, ps, lvl)
     else:  # "bilinear": dense one-step Newton + resampled second iteration
-        # Dense subpixel offsets: FULL 3x3 (x, y, scale) Newton step
-        # -H^-1 grad, exactly SIFT's quadratic fit but computed densely,
-        # then ONE more Newton iteration with the nine derivative maps
-        # bilinearly RESAMPLED at the refined location (the DoG is not a
-        # quadratic, so the one-step fit retains a texture-phase bias the
-        # second iteration halves). Measured (benchmarks/detector_bias.py,
-        # stabilize_probe.py): lower variance than the lattice walk on
-        # smooth natural texture — bilinear's phase smoothing is milder
-        # than the lattice fit's truncation error at these scales.
-        off_x, off_y, _ = _newton3(
-            (dx, dy, ds), (dxx, dyy, dss, dxy, dxs, dys)
-        )
-        off = jnp.stack([off_x, off_y], axis=-1).reshape(B, -1, 2)
-        off_sel = jnp.take_along_axis(off, top_idx[..., None], axis=1)
-        fx = ix + off_sel[..., 0]
-        fy = iy + off_sel[..., 1]
-        # The level stack is addressed as one tall (S*H, W) image; the
-        # inner y-clip keeps the bilinear support inside the keypoint's
-        # own level.
-        d9 = jax.vmap(
-            lambda df, lv, yy2, xx2: _fused_bilinear_rows(
-                df, W, n_scales * H, lv * H + jnp.clip(yy2, 1.0, H - 2.0),
-                jnp.clip(xx2, 1.0, W - 2.0),
-            )
-        )(dflat[..., :9], lvl.astype(jnp.float32), fy, fx)  # (B, quota, 9)
-        step_x, step_y, _ = _newton3(
-            tuple(d9[..., i] for i in range(3)),
-            tuple(d9[..., i] for i in range(3, 9)),
-        )
-        fx = fx + jnp.clip(step_x, -0.5, 0.5)
-        fy = fy + jnp.clip(step_y, -0.5, 0.5)
+        # With the SIFT base-blur top-up in place, the lattice walk
+        # measures LOWER stabilization bias than this mode
+        # (stabilize_probe.py: 0.0011 vs 0.0021 deg max at 24 frames,
+        # host SIFT 0.0015) — bilinear resampling of the derivative maps
+        # smooths texture phase coherently, which is the residual
+        # accumulating roll bias; 'lattice' is the default.
+        fx, fy = _dense_refine()
 
     # ---- Descriptors: blurred orientation-bin maps per center level ----
     k_geo = 2.0 ** (1.0 / n_scales)
@@ -372,7 +400,7 @@ def _detect_batch(
     border: int = 8,
     has_mask: bool = False,
     upsample: bool = True,
-    refine: str = "bilinear",
+    refine: str = "lattice",
 ):
     """Detect + describe on a batch: (B, H, W) uint8/float -> fixed-K arrays.
 
@@ -406,7 +434,14 @@ def _detect_batch(
     quotas[0] += rest
     k_geo = 2.0 ** (1.0 / n_scales)
     outs = []
-    base = _blur(x, sigma0)
+    # SIFT's input-blur assumption (Lowe 2004 sec. 3.3, cv2 createInitialImage):
+    # the camera image already carries sigma ~0.5; after 2x upsampling that
+    # becomes 1.0, and the base level tops UP to sigma0 rather than adding
+    # the full sigma0 (which would over-blur the whole ladder to an
+    # effective base of sqrt(1 + sigma0^2) ~ 1.89 and shift every scale
+    # label).
+    sigma_in = 1.0 if upsample else 0.5
+    base = _blur(x, math.sqrt(max(sigma0**2 - sigma_in**2, 0.01)))
     for o in range(n_octaves):
         Ho, Wo = base.shape[-2:]
         ladder = [base]
