@@ -187,7 +187,7 @@ def stabilize(renderer, true_viewdirs, workdir: str, steps=None, tag=""):
         model.build_keypoints(
             masks=[mask] * len(images), clear_images=True, detector="device",
             nfeatures=int(os.environ.get("PIPELINE_NFEATURES", "2048")),
-            refine=os.environ.get("PIPELINE_REFINE", "bilinear"),
+            refine=os.environ.get("PIPELINE_REFINE", "lattice"),
         )
     else:
         # nfeatures caps host SIFT to the best-n keypoints per image:
@@ -204,13 +204,15 @@ def stabilize(renderer, true_viewdirs, workdir: str, steps=None, tag=""):
     model.build_matches(
         seq=(1, 8, 64), max_ratio=0.75, max_distance=20.0,
         matcher=os.environ.get("PIPELINE_MATCHER", "device"),
+        refine=os.environ.get("PIPELINE_MATCH_REFINE", "0") == "1",
     )
     timings["match_s"] = round(time.perf_counter() - t_match, 1)
     print(f"[stage] match done {timings['match_s']}s", file=sys.stderr, flush=True)
     n_pairs = int(sum(m.size for m in model.matches.data))
     t_fit = time.perf_counter()
     result = model.fit(
-        method=os.environ.get("PIPELINE_FIT_METHOD", "lbfgs-device")
+        method=os.environ.get("PIPELINE_FIT_METHOD", "lbfgs-device"),
+        maxiter=int(os.environ.get("PIPELINE_FIT_MAXITER", "2000")),
     )
     timings["fit_s"] = round(time.perf_counter() - t_fit, 1)
     print(f"[stage] fit done {timings['fit_s']}s", file=sys.stderr, flush=True)

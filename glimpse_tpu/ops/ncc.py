@@ -28,12 +28,20 @@ def sse_map_numpy(search: np.ndarray, template: np.ndarray) -> np.ndarray:
     return np.einsum("uvij,uvij->uv", diff, diff)
 
 
-def sse_map_batched(search, templates, xp=None):
+def sse_map_batched(search, templates, xp=None, method: str = "conv"):
     """Batched SSE maps.
 
     Arguments:
         search: Search tiles (N, sh, sw).
         templates: Templates (N, th, tw).
+        method: Correlation formulation on the jax path. ``'conv'`` is a
+            depthwise grouped convolution (MXU; best steady-state rate at
+            particle-filter scale) but XLA:TPU's compile time for
+            ``feature_group_count=N`` convs is pathological (measured
+            ~240 s at N=512, growing with N). ``'shift'`` unrolls the
+            correlation as th*tw shifted multiply-adds (VPU elementwise;
+            compiles in seconds) — the right trade for small search/
+            template sizes or one-shot stages like match refinement.
 
     Returns:
         SSE maps (N, sh-th+1, sw-tw+1).
@@ -47,6 +55,25 @@ def sse_map_batched(search, templates, xp=None):
 
     N, sh, sw = search.shape
     th, tw = templates.shape[-2:]
+    if method == "shift":
+        oh, ow = sh - th + 1, sw - tw + 1
+        corr = jnp.zeros((N, oh, ow), search.dtype)
+        for i in range(th):
+            for j in range(tw):
+                corr = corr + (
+                    search[:, i : i + oh, j : j + ow]
+                    * templates[:, i, j][:, None, None]
+                )
+        t2 = jnp.sum(templates * templates, axis=(-2, -1))
+        s2 = jax.lax.reduce_window(
+            search * search,
+            0.0,
+            jax.lax.add,
+            window_dimensions=(1, th, tw),
+            window_strides=(1, 1, 1),
+            padding="VALID",
+        )
+        return s2 - 2 * corr + t2[:, None, None]
     # Local patch energy: sliding-window sum of S^2.
     s2 = jax.lax.reduce_window(
         search * search,

@@ -1971,13 +1971,22 @@ def match_keypoints(
         ba = {(m[0].trainIdx, m[0].queryIdx) for m in matches_ba}
         matches = [m for m in matches if (m[0].queryIdx, m[0].trainIdx) in ba]
     if max_ratio:
-        matches = [m for m in matches if m[0].distance / m[1].distance < max_ratio]
+        # A zero second-nearest distance (duplicate descriptors, e.g. two
+        # keypoints refined onto the same location) makes the ratio test
+        # degenerate; such matches are ambiguous by definition — drop them.
+        matches = [
+            m
+            for m in matches
+            if m[1].distance > 0 and m[0].distance / m[1].distance < max_ratio
+        ]
     if not matches:
         return empty()
     uva = _keypoint_pts(ka[0])[[m[0].queryIdx for m in matches]]
     uvb = _keypoint_pts(kb[0])[[m[0].trainIdx for m in matches]]
     if return_ratios:
-        ratios = np.array([m.distance / n_.distance for m, n_ in matches])
+        ratios = np.array(
+            [m.distance / max(n_.distance, 1e-12) for m, n_ in matches]
+        )
     if max_distance:
         valid = np.linalg.norm(uva - uvb, axis=1) < max_distance
         uva, uvb = uva[valid], uvb[valid]
@@ -2149,9 +2158,19 @@ class KeypointMatcher:
         weights: bool = False,
         mtype=None,
         filter: dict = None,
+        refine=False,
         **kwargs: Any,
     ) -> None:
-        """Match each image to its temporal neighbors (maxdt window / seq offsets)."""
+        """Match each image to its temporal neighbors (maxdt window / seq offsets).
+
+        ``refine`` (device matcher only): re-measure every matched pair
+        displacement by batched template correlation on the device
+        (:class:`ops.refine.MatchRefiner`), which removes the detector's
+        coherent subpixel bias from the match graph. ``True`` for
+        defaults, or a dict of MatchRefiner options. Requires images to be
+        readable (they are re-read through the same grayscale/CLAHE prep
+        as detection).
+        """
         if path:
             path = Path(path)
         if keypoints_path:
@@ -2245,6 +2264,20 @@ class KeypointMatcher:
                     precomputed[(i, j)] = (
                         (uva, uvb, ratios) if weights else (uva, uvb)
                     )
+                if refine and precomputed:
+                    from .ops.refine import MatchRefiner
+
+                    refiner = MatchRefiner(
+                        **(refine if isinstance(refine, dict) else {})
+                    )
+                    keys = list(precomputed)
+                    refined = refiner.refine_pairs(
+                        keys,
+                        [precomputed[key][:2] for key in keys],
+                        lambda k: self._prepare_image(self.images[k].read()),
+                    )
+                    for key, ruv in zip(keys, refined):
+                        precomputed[key] = ruv + precomputed[key][2:]
 
         def match_pair(i: int, j: int):
             """Load the cached pair match, or compute (and cache) it.

@@ -56,6 +56,13 @@ def test_sse_map_batched_jax_matches_numpy() -> None:
         )
     )
     np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-3)
+    shifted = np.asarray(
+        ncc.sse_map_batched(
+            jnp.asarray(search, jnp.float32), jnp.asarray(templates, jnp.float32),
+            xp=jnp, method="shift",
+        )
+    )
+    np.testing.assert_allclose(shifted, expected, rtol=1e-4, atol=1e-3)
 
 
 def test_imageproc_jax_matches_numpy() -> None:
