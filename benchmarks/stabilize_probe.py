@@ -30,11 +30,15 @@ from benchmarks import columbia_pipeline as cp  # noqa: E402
 
 def run_variant(renderer, true_viewdirs, variant: str):
     env = dict(os.environ)
-    if variant == "host":
+    base, plus, _ = (variant + "++").split("+", 2)
+    if plus == "refine":
+        # '<detector>+refine': correlation match refinement on top.
+        os.environ["PIPELINE_MATCH_REFINE"] = "1"
+    if base == "host":
         os.environ["PIPELINE_DETECTOR"] = "host"
     else:
         os.environ["PIPELINE_DETECTOR"] = "device"
-        os.environ["PIPELINE_REFINE"] = variant
+        os.environ["PIPELINE_REFINE"] = base
     try:
         workdir = tempfile.mkdtemp(prefix=f"stab_probe_{variant}_")
         recovered, n_pairs, timings = cp.stabilize(
