@@ -67,13 +67,22 @@ def _blur(x, sigma: float):
     r = len(k) // 2
     kx = jnp.asarray(k).reshape(1, 1, 1, -1)
     ky = jnp.asarray(k).reshape(1, 1, -1, 1)
+    # precision=HIGHEST is load-bearing: the TPU conv default truncates
+    # inputs to bf16 (8 mantissa bits). The DoG is a *difference* of
+    # adjacent blurs at ~1-5% of image magnitude, so bf16 truncation of
+    # the Gaussian ladder becomes a deterministic, texture-phase-coherent
+    # 5-20% relative error in the DoG — exactly the coherent subpixel
+    # localization bias seen only on-chip (CPU convs are f32, which is why
+    # the CPU stabilization probe could not reproduce it).
     y = jax.lax.conv_general_dilated(
         x[:, None], kx, (1, 1), [(0, 0), (r, r)],
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=jax.lax.Precision.HIGHEST,
     )
     y = jax.lax.conv_general_dilated(
         y, ky, (1, 1), [(r, r), (0, 0)],
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=jax.lax.Precision.HIGHEST,
     )
     return y[:, 0]
 

@@ -97,9 +97,14 @@ def _newton_peak_2d(coeff, y0, x0, iters: int):
         bx0, bx1, bx2 = _basis_with_derivs(x, o)
 
         def form(by, bx):
+            # HIGHEST is required: the TPU einsum default truncates the
+            # basis rows and spline coefficients to bf16, and the Newton
+            # gradient/Hessian near a peak are small differences of large
+            # SSE values — bf16 noise there swamps the local curvature.
             return jnp.einsum(
                 "ni,nij,nj->n", by, coeff, bx,
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )
 
         gy = form(by1, bx0)
@@ -142,7 +147,10 @@ def _refine_one_pair(img_a, img_b, ca, cb, template: int, search: int,
     idx = jnp.argmin(flat, axis=1)
     iy = (idx // o).astype(jnp.float32)
     ix = (idx % o).astype(jnp.float32)
-    coeff = sampling.bspline_prefilter_2d(sse, xp=jnp, dtype=jnp.float32)
+    coeff = sampling.bspline_prefilter_2d(
+        sse, xp=jnp, dtype=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     return _newton_peak_2d(coeff, iy, ix, iters)
 
 

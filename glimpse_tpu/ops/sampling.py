@@ -108,11 +108,15 @@ def bspline_prefilter_matrix(n: int) -> np.ndarray:
     return np.linalg.inv(A)
 
 
-def bspline_prefilter_2d(values, xp=np, dtype=None):
+def bspline_prefilter_2d(values, xp=np, dtype=None, precision=None):
     """Compute cubic B-spline coefficients of a (..., H, W) grid.
 
     Two dense matmuls (per-axis collocation inverses); exact interpolation
-    at the nodes.
+    at the nodes. ``precision`` (jax path only): pass
+    ``jax.lax.Precision.HIGHEST`` when the coefficients feed subpixel peak
+    localization — the TPU matmul default truncates inputs to bf16, which
+    is fine for the particle-filter likelihood (0.1 px lockstep contract
+    holds) but not for Newton steps on a nearly-flat SSE surface.
     """
     H, W = values.shape[-2], values.shape[-1]
     Ar = bspline_prefilter_matrix(H)
@@ -121,8 +125,11 @@ def bspline_prefilter_2d(values, xp=np, dtype=None):
         dtype = values.dtype
     Ar = xp.asarray(Ar, dtype=dtype)
     Ac = xp.asarray(Ac, dtype=dtype)
+    kw = {} if precision is None or xp is np else {"precision": precision}
     # coeffs = Ar @ values @ Ac.T
-    return xp.matmul(xp.matmul(Ar, values), xp.swapaxes(Ac, -1, -2))
+    return xp.matmul(
+        xp.matmul(Ar, values, **kw), xp.swapaxes(Ac, -1, -2), **kw
+    )
 
 
 def _cubic_bspline_weights(t, xp):
