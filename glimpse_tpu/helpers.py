@@ -317,6 +317,75 @@ def match_cdf(
     return np.interp(ranks / flat.size, cdf[1], cdf[0]).reshape(a.shape)
 
 
+def clahe(
+    a: np.ndarray,
+    clip_limit: float = 40.0,
+    tile_grid_size: Tuple[int, int] = (8, 8),
+) -> np.ndarray:
+    """Contrast-limited adaptive histogram equalization of a uint8 image.
+
+    Pure-NumPy stand-in for ``cv2.createCLAHE(...).apply`` (reference relies
+    on cv2 for this, optimize.py:2346-2365): the image is divided into a
+    ``tile_grid_size`` grid, each tile's 256-bin histogram is clipped at
+    ``clip_limit * tile_area / 256`` with the excess redistributed uniformly
+    (cv2 semantics), each clipped CDF becomes a tile LUT, and every pixel is
+    mapped by bilinear interpolation between the four nearest tile LUTs.
+    Differences from cv2 are sub-level rounding only.
+    """
+    a = np.asarray(a)
+    if a.dtype != np.uint8:
+        raise ValueError(f"clahe expects a uint8 image, got {a.dtype}")
+    if a.ndim != 2:
+        raise ValueError(f"clahe expects a 2-D image, got shape {a.shape}")
+    ty, tx = int(tile_grid_size[0]), int(tile_grid_size[1])
+    h, w = a.shape
+    # cv2 pads with BORDER_REFLECT_101 so dims divide the grid evenly.
+    th, tw = -(-h // ty), -(-w // tx)
+    padded = np.pad(a, ((0, th * ty - h), (0, tw * tx - w)), mode="reflect")
+    tiles = padded.reshape(ty, th, tx, tw).transpose(0, 2, 1, 3)  # (ty,tx,th,tw)
+    # Per-tile 256-bin histograms via a single bincount over offset values.
+    tile_ids = np.repeat(np.arange(ty * tx), th * tw)
+    hist = np.bincount(
+        tile_ids * 256 + tiles.reshape(ty * tx, -1).ravel().astype(np.intp),
+        minlength=ty * tx * 256,
+    ).reshape(ty * tx, 256)
+    if clip_limit > 0:
+        limit = max(int(clip_limit * th * tw / 256.0), 1)
+        excess = np.clip(hist - limit, 0, None).sum(axis=1)
+        hist = np.minimum(hist, limit)
+        # Uniform redistribution of the clipped mass: every bin gets
+        # excess//256, then the residual is spread one count per
+        # max(256//residual, 1) bins starting at 0 (cv2's exact scheme —
+        # first-bins-only redistribution skews the low-value CDF by up to
+        # residual counts, ~20 gray levels at default settings).
+        hist = hist + (excess // 256)[:, None]
+        residual = (excess % 256)[:, None]
+        step = np.maximum(256 // np.maximum(residual, 1), 1)
+        bins = np.arange(256)[None, :]
+        hist = hist + ((bins % step == 0) & (bins // step < residual))
+    lut_scale = 255.0 / (th * tw)
+    luts = np.rint(np.cumsum(hist, axis=1) * lut_scale).astype(np.float32)
+    luts = luts.reshape(ty, tx, 256)
+    # Bilinear interpolation between the 4 surrounding tile centres
+    # (cv2 convention: txf = x / tile_width - 0.5, no half-pixel offset).
+    yy = np.arange(h) / th - 0.5
+    xx = np.arange(w) / tw - 0.5
+    y0 = np.clip(np.floor(yy).astype(np.intp), 0, ty - 1)
+    x0 = np.clip(np.floor(xx).astype(np.intp), 0, tx - 1)
+    y1 = np.minimum(y0 + 1, ty - 1)
+    x1 = np.minimum(x0 + 1, tx - 1)
+    fy = np.clip(yy - y0, 0.0, 1.0)[:, None]
+    fx = np.clip(xx - x0, 0.0, 1.0)[None, :]
+    v = a.astype(np.intp)
+    top = luts[y0[:, None], x0[None, :], v] * (1 - fx) + luts[
+        y0[:, None], x1[None, :], v
+    ] * fx
+    bot = luts[y1[:, None], x0[None, :], v] * (1 - fx) + luts[
+        y1[:, None], x1[None, :], v
+    ] * fx
+    return np.clip(np.rint(top * (1 - fy) + bot * fy), 0, 255).astype(np.uint8)
+
+
 def _numpy_dropdims(a: np.ndarray, axis: int = None, keepdims: bool = False) -> Any:
     """Collapse a length-1 reduction axis (or a scalar) unless keepdims."""
     a = np.asarray(a)

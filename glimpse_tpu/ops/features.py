@@ -61,28 +61,33 @@ def _gauss_kernel(sigma: float) -> np.ndarray:
     return (k / k.sum()).astype(np.float32)
 
 
-def _blur(x, sigma: float):
-    """Separable Gaussian blur of (B, H, W), SAME padding."""
+def _blur(x, sigma: float, precision=jax.lax.Precision.HIGHEST):
+    """Separable Gaussian blur of (B, H, W), SAME padding.
+
+    precision=HIGHEST default is load-bearing for the Gaussian LADDER: the
+    TPU conv default truncates inputs to bf16 (8 mantissa bits). The DoG is
+    a *difference* of adjacent blurs at ~1-5% of image magnitude, so bf16
+    truncation of the ladder becomes a deterministic, texture-phase-coherent
+    5-20% relative error in the DoG — exactly the coherent subpixel
+    localization bias seen only on-chip (CPU convs are f32, which is why
+    the CPU stabilization probe could not reproduce it). Descriptor
+    orientation-plane smoothing does NOT need this (the planes feed a
+    normalized 128-vector, not a small difference) and passes DEFAULT to
+    avoid HIGHEST's ~3-6x conv slowdown there.
+    """
     k = _gauss_kernel(sigma)
     r = len(k) // 2
     kx = jnp.asarray(k).reshape(1, 1, 1, -1)
     ky = jnp.asarray(k).reshape(1, 1, -1, 1)
-    # precision=HIGHEST is load-bearing: the TPU conv default truncates
-    # inputs to bf16 (8 mantissa bits). The DoG is a *difference* of
-    # adjacent blurs at ~1-5% of image magnitude, so bf16 truncation of
-    # the Gaussian ladder becomes a deterministic, texture-phase-coherent
-    # 5-20% relative error in the DoG — exactly the coherent subpixel
-    # localization bias seen only on-chip (CPU convs are f32, which is why
-    # the CPU stabilization probe could not reproduce it).
     y = jax.lax.conv_general_dilated(
         x[:, None], kx, (1, 1), [(0, 0), (r, r)],
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        precision=jax.lax.Precision.HIGHEST,
+        precision=precision,
     )
     y = jax.lax.conv_general_dilated(
         y, ky, (1, 1), [(r, r), (0, 0)],
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        precision=jax.lax.Precision.HIGHEST,
+        precision=precision,
     )
     return y[:, 0]
 
@@ -364,9 +369,10 @@ def _octave_detect(
         )  # (B, 8, H, W)
         sigma_lev = sigma0 * (k_geo ** lev)
         cell = 3.0 * sigma_lev  # descriptor cell spacing, octave pixels
-        planes = _blur(planes.reshape(B * 8, H, W), cell * 0.5).reshape(
-            B, 8, H, W
-        )
+        planes = _blur(
+            planes.reshape(B * 8, H, W), cell * 0.5,
+            precision=jax.lax.Precision.DEFAULT,
+        ).reshape(B, 8, H, W)
         maps_flat = planes.transpose(0, 2, 3, 1).reshape(B, H * W, 8)
         # 4x4 cell grid around each keypoint.
         grid = (jnp.arange(4) - 1.5) * cell  # (4,)

@@ -1265,7 +1265,10 @@ class Cameras:
         finite differences + hand sparsity, optimize.py:1781-1878);
         ``'2-point'`` keeps the reference's finite-difference path with the
         block sparsity structure; ``'auto'`` (default) uses exact whenever
-        every control supports tracing (``Lines`` does not). ``cam_params``/
+        every control supports tracing (all built-in controls — including
+        ``Lines``, whose residual is traced through the budgeted candidate
+        densification — do; only custom controls without pure-op residuals
+        fall back to finite differences). ``cam_params``/
         ``group_params`` run staged pre-fits like the reference.
         """
         iterations = max(
@@ -1997,6 +2000,17 @@ def match_keypoints(
     return uva, uvb
 
 
+class _NumpyCLAHE:
+    """cv2.CLAHE-compatible shim over :func:`helpers.clahe` (apply method)."""
+
+    def __init__(self, clip_limit: float, tile_grid_size) -> None:
+        self.clip_limit = float(clip_limit)
+        self.tile_grid_size = tuple(tile_grid_size)
+
+    def apply(self, array: np.ndarray) -> np.ndarray:
+        return helpers.clahe(array, self.clip_limit, self.tile_grid_size)
+
+
 class KeypointMatcher:
     """Sequence-scale keypoint detection and time-windowed pair matching.
 
@@ -2017,9 +2031,18 @@ class KeypointMatcher:
 
     @staticmethod
     def _make_clahe(spec):
-        if spec is False or cv2 is None:
+        if spec is False:
             return None
-        return cv2.createCLAHE(**({} if spec is True else spec))
+        if cv2 is not None:
+            return cv2.createCLAHE(**({} if spec is True else spec))
+        # cv2-free fallback: pure-NumPy CLAHE with cv2-compatible kwargs
+        # (reference silently requires cv2 here, optimize.py:2346-2365).
+        kwargs = {} if spec is True else dict(spec)
+        clip_limit = kwargs.pop("clipLimit", 40.0)
+        tile_grid_size = kwargs.pop("tileGridSize", (8, 8))
+        if kwargs:
+            raise TypeError(f"Unknown CLAHE options: {sorted(kwargs)}")
+        return _NumpyCLAHE(clip_limit, tile_grid_size)
 
     def _basenames(self) -> List[str]:
         basenames = [helpers.strip_path(img.path) for img in self.images]

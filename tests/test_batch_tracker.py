@@ -347,6 +347,21 @@ def test_checkpoint_roundtrip(tmp_path) -> None:
     path = tmp_path / "pf_state.npz"
     checkpoint.save_state(state, path)
     restored = checkpoint.load_state(path)
+    # Every pytree leaf must round-trip exactly (catches new BatchState
+    # fields that checkpoint.py forgets to persist, e.g. `valid`).
+    leaves_a, treedef_a = jax.tree_util.tree_flatten(state)
+    leaves_b, treedef_b = jax.tree_util.tree_flatten(restored)
+    assert treedef_a == treedef_b
+    def as_np(leaf):
+        # Typed PRNG keys (load_state wraps key data) and raw uint32 keys
+        # (PRNGKey) must compare by their underlying integer data.
+        if jax.dtypes.issubdtype(getattr(leaf, "dtype", None), jax.dtypes.prng_key):
+            leaf = jax.random.key_data(leaf)
+        return np.asarray(leaf).reshape(-1)
+
+    for la, lb in zip(leaves_a, leaves_b):
+        np.testing.assert_array_equal(as_np(la), as_np(lb))
+    assert state.valid is not None  # step() must have populated it
     # Resuming from the snapshot continues bit-exactly.
     next_a, out_a = jax.jit(tracker.step)(
         state, jnp.asarray(frames[2])[None], jnp.float32(1.0)

@@ -739,3 +739,41 @@ def test_lines_autodiff_fit_matches_fd() -> None:
     # ... and recovers the true rotation within the candidate
     # quantization floor on every axis.
     np.testing.assert_allclose(fit_exact, (10.0, -4.0, 0.5), atol=0.02)
+
+
+def test_clahe_matches_cv2() -> None:
+    """NumPy CLAHE tracks cv2's output to sub-level accuracy."""
+    cv2 = pytest.importorskip("cv2")
+    from glimpse_tpu import helpers
+
+    rng = np.random.default_rng(11)
+    # Smooth gradient + noise + a dark band: exercises clipping and the
+    # corner/edge interpolation regions. Non-multiple-of-8 dims on purpose.
+    y, x = np.mgrid[0:123, 0:157]
+    img = np.clip(
+        0.6 * x + 0.3 * y + rng.normal(scale=12, size=x.shape) + 20 * (y > 80),
+        0,
+        255,
+    ).astype(np.uint8)
+    for clip, grid in [(40.0, (8, 8)), (2.0, (4, 4))]:
+        ours = helpers.clahe(img, clip_limit=clip, tile_grid_size=grid)
+        ref = cv2.createCLAHE(clipLimit=clip, tileGridSize=grid).apply(img)
+        diff = np.abs(ours.astype(int) - ref.astype(int))
+        # cvRound vs np.rint can differ by one level on exact halves.
+        assert diff.max() <= 1, (clip, grid, diff.max())
+        assert np.mean(diff) < 0.02, (clip, grid, np.mean(diff))
+
+
+def test_clahe_without_cv2(monkeypatch, tmp_path) -> None:
+    """KeypointMatcher clahe=True works (and transforms) when cv2 is absent."""
+    monkeypatch.setattr(optimize, "cv2", None)
+    maker = optimize.KeypointMatcher._make_clahe(True)
+    assert isinstance(maker, optimize._NumpyCLAHE)
+    rng = np.random.default_rng(0)
+    img = (rng.random((64, 64)) * 120 + 40).astype(np.uint8)
+    out = maker.apply(img)
+    assert out.shape == img.shape and out.dtype == np.uint8
+    # CLAHE must expand the 40..160 input range toward the full 0..255.
+    assert out.min() < 20 and out.max() > 235
+    with pytest.raises(TypeError):
+        optimize.KeypointMatcher._make_clahe({"bogus": 1})

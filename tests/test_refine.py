@@ -97,3 +97,35 @@ def test_empty_and_varied_sizes():
     # Identical images: refined displacement must be ~zero.
     duv = outs[1][1] - outs[1][0]
     assert np.abs(duv).max() < 0.02
+
+
+def test_precision_highest_survives_lowering():
+    """HIGHEST precision must be plumbed into the lowered HLO.
+
+    The fix only changes numerics on the TPU backend (CPU convs/matmuls are
+    already f32), so this inspects the lowered program text — CPU CI then
+    catches any refactor that drops the precision= arguments from
+    _refine_one_pair's prefilter/Newton einsums or the DoG blur ladder.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    img = jnp.zeros((32, 32), jnp.float32)
+    corners = jnp.zeros((2, 2), jnp.int32)
+    lowered = jax.jit(
+        refine._refine_one_pair, static_argnums=(4, 5, 6)
+    ).lower(img, img, corners, corners, 8, 12, 2).as_text()
+    # One marker per protected site: bspline prefilter + Newton form einsums.
+    assert lowered.count("HIGHEST") >= 2, lowered.count("HIGHEST")
+
+    from glimpse_tpu.ops import features
+
+    blurred = jax.jit(
+        lambda x: features._blur(x, 1.6)
+    ).lower(jnp.zeros((1, 16, 16), jnp.float32)).as_text()
+    assert "HIGHEST" in blurred
+    # The descriptor-plane call site opts out (DEFAULT) for speed.
+    fast = jax.jit(
+        lambda x: features._blur(x, 1.6, precision=jax.lax.Precision.DEFAULT)
+    ).lower(jnp.zeros((1, 16, 16), jnp.float32)).as_text()
+    assert "HIGHEST" not in fast
