@@ -19,6 +19,12 @@ Env: COLUMBIA_POINTS (10240), COLUMBIA_PARTICLES (512), COLUMBIA_FRAMES (1000),
      RPC tax of the tunneled backend (measured 12% of the step at the
      north-star shape). The north star itself (BASELINE.md: 10k points x 2k
      particles x 1,000 frames) is this script with COLUMBIA_PARTICLES=2048.
+     COLUMBIA_OBSERVERS (1): 2 adds a second camera of the same scene (its
+     frames crop the canvas at a constant offset; its camera's principal
+     point absorbs the offset, so both observers constrain the same world
+     track). COLUMBIA_VIEWSHED (0): 1 runs the per-step particle viewshed
+     validity test against an all-visible raster (full test cost, no
+     trajectory change) — together the full BASELINE.md north-star recipe.
 """
 import json
 import os
@@ -48,6 +54,8 @@ def main() -> None:
     P = int(os.environ.get("COLUMBIA_PARTICLES", 512))
     T = int(os.environ.get("COLUMBIA_FRAMES", 1000))
     CHUNK = int(os.environ.get("COLUMBIA_CHUNK", 8))
+    OBS = int(os.environ.get("COLUMBIA_OBSERVERS", 1))
+    USE_VIEWSHED = bool(int(os.environ.get("COLUMBIA_VIEWSHED", 0)))
     IMG = 512
     # px/frame: total drift over T frames must stay inside the start margin
     # (IMG/4) or tracked features exit the camera frame.
@@ -59,18 +67,36 @@ def main() -> None:
         rng.normal(size=(IMG + pad, IMG + pad)), 0.8
     ).astype(np.float32) * 100
 
-    def frame(i: int) -> np.ndarray:
-        # Rigid translation by bilinear crop of the big canvas.
-        r0 = velocity[1] * i
-        c0 = velocity[0] * i
+    # Observer o crops the canvas at a constant extra offset; its camera's
+    # principal point absorbs the offset so both constrain the same track.
+    obs_off = [(0, 0), (5, 3)][:OBS] if OBS <= 2 else [
+        (o * 5, o * 3) for o in range(OBS)
+    ]
+
+    def crop(r0: float, c0: float) -> np.ndarray:
         ri, ci = int(np.floor(r0)), int(np.floor(c0))
         fr, fc = r0 - ri, c0 - ci
         win = canvas[ri : ri + IMG + 1, ci : ci + IMG + 1]
         top = win[:-1, :-1] * (1 - fc) + win[:-1, 1:] * fc
         bot = win[1:, :-1] * (1 - fc) + win[1:, 1:] * fc
-        return (top * (1 - fr) + bot * fr)[None]  # (O=1, H, W)
+        return top * (1 - fr) + bot * fr
 
-    cam = Camera(imgsz=IMG, f=IMG, xyz=(IMG / 2, IMG / 2, IMG), viewdir=(0, -90, 0))
+    def frame(i: int) -> np.ndarray:
+        # Rigid translation by bilinear crop of the big canvas.
+        r0 = velocity[1] * i
+        c0 = velocity[0] * i
+        return np.stack(
+            [crop(r0 + dr, c0 + dc) for dr, dc in obs_off]
+        )  # (O, H, W)
+
+    cams = [
+        Camera(
+            imgsz=IMG, f=IMG, c=(-dc, -dr),
+            xyz=(IMG / 2, IMG / 2, IMG), viewdir=(0, -90, 0),
+        )
+        for dr, dc in obs_off
+    ]
+    cam = cams[0]
     margin = IMG // 4
     starts = rng.uniform(margin, IMG - margin, size=(N, 2))
     motion = BatchMotion(
@@ -87,9 +113,19 @@ def main() -> None:
         use_dem_sigma=False,
     )
     cfg = BatchConfig(n_particles=P, template_size=(15, 15), search_size=(31, 31))
+    viewshed = None
+    if USE_VIEWSHED:
+        from glimpse_tpu import Raster
+
+        side = IMG + pad
+        viewshed = Raster(
+            np.ones((64, 64), np.float32), x=(-side, 2 * side),
+            y=(2 * side, -side),
+        )
     tracker = BatchTracker(
-        camera_vectors=cam.to_array()[None], corrections=[None], sigmas=[0.3],
-        motion=motion, config=cfg,
+        camera_vectors=np.stack([c.to_array() for c in cams]),
+        corrections=[None] * OBS, sigmas=[0.3] * OBS,
+        motion=motion, config=cfg, viewshed=viewshed,
     )
 
     # Warm-up: compile initialize + step on a throwaway 2-frame stream
@@ -129,7 +165,11 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "config": f"{N} points x {P} particles x {T} frames (streamed)",
+                "config": (
+                    f"{N} points x {P} particles x {T} frames (streamed,"
+                    f" chunk={CHUNK}, observers={OBS},"
+                    f" viewshed={'on' if USE_VIEWSHED else 'off'})"
+                ),
                 "wall_s": round(elapsed, 1),
                 "compile_s": round(compile_s, 1),
                 "point_steps_per_s": round(N * (T - 1) / elapsed, 1),

@@ -66,7 +66,8 @@ class _DrivenCartesianMotion:
 
 
 def run_lockstep(
-    n_points=50, n_particles=500, n_frames=20, x64=False, dem_sigma=None
+    n_points=50, n_particles=500, n_frames=20, x64=False, dem_sigma=None,
+    resample_threshold=None,
 ) -> dict:
     """Run the lockstep comparison; returns the result dict.
 
@@ -75,6 +76,13 @@ def run_lockstep(
     evolve in z, and are weighted by the DEM-distance prior in BOTH
     implementations, exercising ``BatchMotion.log_likelihoods`` against the
     host ``CartesianMotion.compute_log_likelihoods`` at scale.
+
+    ``resample_threshold``: when set (ESS-gated SIR mode,
+    ``BatchConfig.resample_threshold``), BOTH sides accumulate importance
+    weights across steps and resample a point only when its effective
+    sample size drops below ``threshold * n_particles`` — the host side
+    mirrors the device bookkeeping with the same shared draws, so the
+    divergence again measures implementation fidelity of the SIR variant.
     """
     import scipy.ndimage
 
@@ -183,16 +191,33 @@ def run_lockstep(
         worker.particles = motion.initialize_particles()
         worker.initialize_weights()
         worker.initialize_template(obs=0, img=0, tile_size=(15, 15))
+        acc = np.ones(n_particles)  # SIR accumulated weights
         for t in range(1, n_frames):
             motion.evolve_particles(worker.particles, dt=day)
             worker.update_weights(imgs=[t], motion_model=motion)
-            w = worker.weights / worker.weights.sum()
+            if resample_threshold is not None:
+                # Mirror the device SIR bookkeeping (batch.py step():
+                # weights = prev * exp(-(ll - min ll)) + 1e-30, normalized
+                # by the mean; exp(-(ll - min)) == w_t / max(w_t)).
+                lw = worker.weights
+                acc = acc * (lw / lw.max()) + 1e-30
+                acc = acc / acc.mean()
+                w = acc / acc.sum()
+            else:
+                w = worker.weights / worker.weights.sum()
             host_means[i, t - 1] = (worker.particles[:, 0:2] * w[:, None]).sum(0)
             # Systematic resampling with the shared comb offset.
             positions = (np.arange(n_particles) + resample_u[t - 1, i]) / n_particles
-            idx = np.searchsorted(np.cumsum(w), positions)
-            worker.particles = worker.particles[idx]
-            worker.weights = worker.weights[idx]
+            if resample_threshold is not None:
+                ess = 1.0 / np.sum(w ** 2)
+                if ess < resample_threshold * n_particles:
+                    idx = np.searchsorted(np.cumsum(w), positions)
+                    worker.particles = worker.particles[idx]
+                    acc = np.ones(n_particles)
+            else:
+                idx = np.searchsorted(np.cumsum(w), positions)
+                worker.particles = worker.particles[idx]
+                worker.weights = worker.weights[idx]
 
     # ---- Device: identical draws through the injection path ----
     dtype = jnp.float32
@@ -219,7 +244,7 @@ def run_lockstep(
     )
     cfg = BatchConfig(
         n_particles=n_particles, template_size=(15, 15), search_size=(41, 41),
-        dtype=dtype,
+        dtype=dtype, resample_threshold=resample_threshold,
     )
     batch = BatchTracker(
         camera_vectors=cam.to_array()[None], corrections=[None], sigmas=[sigma],
@@ -254,6 +279,11 @@ def run_lockstep(
         "config": f"{n_points} points x {n_particles} particles x "
                   f"{n_frames} frames (lockstep noise"
                   + (f", dem_sigma={dem_sigma}" if dem_sigma else "")
+                  + (
+                      f", ess_threshold={resample_threshold}"
+                      if resample_threshold is not None
+                      else ""
+                  )
                   + ")",
         "dtype": str(np.dtype(dtype)) if not x64 else "float64",
         "rmse_device_vs_host_px": round(float(np.sqrt((diff ** 2).mean())), 4),
@@ -276,6 +306,10 @@ def main() -> None:
                 n_frames=int(os.environ.get("LOCKSTEP_FRAMES", 20)),
                 x64=bool(os.environ.get("LOCKSTEP_X64")),
                 dem_sigma=float(os.environ.get("LOCKSTEP_DEM_SIGMA", 0))
+                or None,
+                resample_threshold=float(
+                    os.environ.get("LOCKSTEP_RESAMPLE_THRESHOLD", 0)
+                )
                 or None,
             )
         )

@@ -113,7 +113,7 @@ if os.environ.get("PROF_KERNEL"):
             return sum(o.sum() for o in outs)
         return bench(f, t_tab, cols, reps=5)
 
-    configs = [
+    default_configs = [
         ("mxu_rows", 256, 128, 8),    # round-3 production default
         ("mxu_shared", 256, 128, 8),
         ("mxu_shared", 256, 128, 16),
@@ -132,6 +132,22 @@ if os.environ.get("PROF_KERNEL"):
         ("mxu_rows", 768, 384, 16),
         ("direct", 256, 128, 8),
     ]
+    # Round-5 focused sweep around the round-4 winner (mxu_shared W=384
+    # C=128 G=16), with the 3-pass exact select in place of HIGHEST.
+    round5_configs = [
+        ("mxu_rows", 256, 128, 8),    # old production default, new select
+        ("mxu_shared", 384, 128, 16),  # round-4 sweep winner
+        ("mxu_shared", 384, 128, 8),
+        ("mxu_shared", 384, 128, 32),
+        ("mxu_shared", 512, 128, 16),
+        ("mxu_shared", 512, 128, 32),
+        ("mxu_shared", 256, 128, 16),
+        ("mxu_shared", 640, 128, 32),
+        ("mxu_shared", 512, 128, 64),
+    ]
+    configs = (
+        round5_configs if os.environ.get("PROF_ROUND5") else default_configs
+    )
     limit = int(os.environ.get("PROF_MAX_CONFIGS", len(configs)))
     base = None
     for layout, window, chunk, pb in configs[:limit]:

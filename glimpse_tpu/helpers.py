@@ -985,17 +985,131 @@ def _parse_parallel(parallel: Union[int, bool]) -> int:
 # ---- GIS (GDAL-free) ---- #
 
 
-def crs_to_wkt(crs: Union[int, str]) -> str:
-    """Normalize a CRS designation to a string.
+# WKT1 building blocks for the EPSG definitions this domain uses
+# (reference resolves arbitrary codes through GDAL SpatialReference,
+# /root/reference/src/glimpse/helpers.py:616-676; GDAL-free here, so the
+# common geographic/UTM/Alaska codes are generated from their published
+# EPSG parameters and anything else falls back to an "EPSG:<code>"
+# identifier string).
+_WKT_GEOGCS = {
+    # datum name, spheroid name, inverse flattening, datum code, geogcs code
+    "WGS 84": (
+        "WGS_1984", "WGS 84", 6378137, "298.257223563", 6326, 4326
+    ),
+    "NAD83": (
+        "North_American_Datum_1983", "GRS 1980", 6378137,
+        "298.257222101", 6269, 4269,
+    ),
+}
 
-    GDAL-free: integer EPSG codes become "EPSG:<code>"; WKT and Proj4
-    strings pass through unchanged (the raster codec stores CRS strings
-    opaquely rather than reprojecting).
+
+def _wkt_geogcs(name: str) -> str:
+    datum, sph, a, inv_f, dcode, gcode = _WKT_GEOGCS[name]
+    return (
+        f'GEOGCS["{name}",DATUM["{datum}",SPHEROID["{sph}",{a},{inv_f},'
+        f'AUTHORITY["EPSG","{7030 if sph == "WGS 84" else 7019}"]],'
+        f'AUTHORITY["EPSG","{dcode}"]],'
+        f'PRIMEM["Greenwich",0,AUTHORITY["EPSG","8901"]],'
+        f'UNIT["degree",0.0174532925199433,AUTHORITY["EPSG","9122"]],'
+        f'AUTHORITY["EPSG","{gcode}"]]'
+    )
+
+
+def _wkt_projcs(name, geogcs, projection, parameters, code):
+    params = ",".join(
+        f'PARAMETER["{k}",{v}]' for k, v in parameters
+    )
+    return (
+        f'PROJCS["{name}",{_wkt_geogcs(geogcs)},'
+        f'PROJECTION["{projection}"],{params},'
+        f'UNIT["metre",1,AUTHORITY["EPSG","9001"]],'
+        f'AXIS["Easting",EAST],AXIS["Northing",NORTH],'
+        f'AUTHORITY["EPSG","{code}"]]'
+    )
+
+
+def _epsg_to_wkt(code: int) -> Optional[str]:
+    """WKT1 for an EPSG code, or None if outside the built-in table."""
+    if code in (4326, 4269):
+        return _wkt_geogcs("WGS 84" if code == 4326 else "NAD83")
+    if 32601 <= code <= 32660 or 32701 <= code <= 32760:  # WGS 84 / UTM
+        zone = code % 100
+        south = code >= 32701
+        return _wkt_projcs(
+            f"WGS 84 / UTM zone {zone}{'S' if south else 'N'}",
+            "WGS 84", "Transverse_Mercator",
+            [
+                ("latitude_of_origin", 0),
+                ("central_meridian", zone * 6 - 183),
+                ("scale_factor", 0.9996),
+                ("false_easting", 500000),
+                ("false_northing", 10000000 if south else 0),
+            ],
+            code,
+        )
+    if 26901 <= code <= 26923:  # NAD83 / UTM (Alaska imagery CRS family)
+        zone = code % 100
+        return _wkt_projcs(
+            f"NAD83 / UTM zone {zone}N", "NAD83", "Transverse_Mercator",
+            [
+                ("latitude_of_origin", 0),
+                ("central_meridian", zone * 6 - 183),
+                ("scale_factor", 0.9996),
+                ("false_easting", 500000),
+                ("false_northing", 0),
+            ],
+            code,
+        )
+    if code == 3338:  # NAD83 / Alaska Albers (Columbia Glacier rasters)
+        return _wkt_projcs(
+            "NAD83 / Alaska Albers", "NAD83", "Albers_Conic_Equal_Area",
+            [
+                ("latitude_of_center", 50),
+                ("longitude_of_center", -154),
+                ("standard_parallel_1", 55),
+                ("standard_parallel_2", 65),
+                ("false_easting", 0),
+                ("false_northing", 0),
+            ],
+            code,
+        )
+    if code == 3413:  # WGS 84 / NSIDC polar stereographic north
+        return _wkt_projcs(
+            "WGS 84 / NSIDC Sea Ice Polar Stereographic North",
+            "WGS 84", "Polar_Stereographic",
+            [
+                ("latitude_of_origin", 70),
+                ("central_meridian", -45),
+                ("false_easting", 0),
+                ("false_northing", 0),
+            ],
+            code,
+        )
+    return None
+
+
+def crs_to_wkt(crs: Union[int, str]) -> str:
+    """Convert a CRS designation to WKT where possible.
+
+    GDAL-free: integer EPSG codes (or "EPSG:<code>" strings) in the
+    built-in table — geographic WGS 84/NAD83, all WGS 84 and NAD83 UTM
+    zones, Alaska Albers (3338), NSIDC polar stereographic (3413) — are
+    expanded to real WKT1 from their published EPSG parameters, so written
+    GeoTIFFs round-trip through external GIS tools. Codes outside the
+    table degrade to the "EPSG:<code>" identifier (stored opaquely; the
+    framework itself never reprojects). WKT and Proj4 strings pass
+    through unchanged.
     """
-    if isinstance(crs, int):
-        return f"EPSG:{crs}"
+    if isinstance(crs, str) and crs.upper().startswith("EPSG:"):
+        try:
+            crs = int(crs.split(":", 1)[1])
+        except ValueError:
+            raise ValueError(f"Malformed EPSG designation: {crs}")
+    if isinstance(crs, (int, np.integer)):
+        wkt = _epsg_to_wkt(int(crs))
+        return wkt if wkt is not None else f"EPSG:{int(crs)}"
     if isinstance(crs, str):
-        if "[" in crs or "+" in crs or crs.upper().startswith("EPSG"):
+        if "[" in crs or "+" in crs:
             return crs
         raise ValueError(f"String CRS format not Proj4, WKT, or EPSG: {crs}")
     raise ValueError(f"Unsupported CRS format: {crs}")

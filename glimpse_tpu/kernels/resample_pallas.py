@@ -61,6 +61,35 @@ _G_OUT = 128  # points per output block (lane width)
 _C = 128  # output-chunk height (P is padded to a multiple of this)
 
 
+def _exact_select_dot(colmat, hitf):
+    """Exact (K, W) @ (W, C) one-hot select in THREE default-precision passes.
+
+    ``Precision.HIGHEST`` lowers to six bf16 MXU passes (both operands
+    split 3-way). Here the hit mask is exactly bf16-representable (0/1),
+    so only the payload operand needs the 3-term split ``v = b1 + b2 + b3``
+    (8+8+8 >= 24 mantissa bits, each residual exactly representable):
+    three default-precision bf16 matmuls with f32 accumulation reconstruct
+    every selected value bit-exactly (one nonzero per output column, and
+    ``(b1 + b2) + b3 == v`` exactly since the terms' exponents are nested).
+    Halves the MXU work of the select stage at identical results.
+    """
+    b1 = colmat.astype(jnp.bfloat16)
+    r1 = colmat - b1.astype(jnp.float32)
+    b2 = r1.astype(jnp.bfloat16)
+    b3 = (r1 - b2.astype(jnp.float32)).astype(jnp.bfloat16)
+    h = hitf.astype(jnp.bfloat16)
+    dims = (((1,), (1,)), ((), ()))
+    acc = jax.lax.dot_general(
+        b1, h, dims, preferred_element_type=jnp.float32
+    )
+    acc = acc + jax.lax.dot_general(
+        b2, h, dims, preferred_element_type=jnp.float32
+    )
+    return acc + jax.lax.dot_general(
+        b3, h, dims, preferred_element_type=jnp.float32
+    )
+
+
 def _kernel(P: int, P_real: int, W: int, K: int, C: int, t_ref, *refs):
     col_refs = refs[:K]
     out_refs = refs[K : K + K]
@@ -338,13 +367,7 @@ def _kernel_mxu_rows(P: int, P_real: int, W: int, K: int, C: int, G: int,
                     ],
                     axis=0,
                 ).astype(jnp.float32)  # (K, W)
-                sel = jax.lax.dot_general(
-                    colmat,
-                    hitf,
-                    (((1,), (1,)), ((), ())),
-                    precision=jax.lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32,
-                )  # (K, C)
+                sel = _exact_select_dot(colmat, hitf)  # (K, C)
                 return accs + sel
 
             n_rounds = (e + 1 - b0) // W + 1
@@ -419,13 +442,8 @@ def _kernel_mxu_shared(P: int, P_real: int, W: int, K: int, C: int, G: int,
                 colmat = jnp.concatenate(
                     [cwins[k][g : g + 1, :] for k in range(K)], axis=0
                 ).astype(jnp.float32)  # (K, W)
-                sel = jax.lax.dot_general(
-                    colmat,
-                    hitf,
-                    (((1,), (1,)), ((), ())),
-                    precision=jax.lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32,
-                )  # (K, C) — exact: one nonzero per output column
+                # Exact: one nonzero per output column (see _exact_select_dot).
+                sel = _exact_select_dot(colmat, hitf)  # (K, C)
                 out.append(accs[g] + sel)
             return tuple(out)
 
