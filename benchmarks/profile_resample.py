@@ -136,14 +136,14 @@ if os.environ.get("PROF_KERNEL"):
     # C=128 G=16), with the 3-pass exact select in place of HIGHEST.
     round5_configs = [
         ("mxu_rows", 256, 128, 8),    # old production default, new select
-        ("mxu_shared", 384, 128, 16),  # round-4 sweep winner
-        ("mxu_shared", 384, 128, 8),
-        ("mxu_shared", 384, 128, 32),
-        ("mxu_shared", 512, 128, 16),
-        ("mxu_shared", 512, 128, 32),
-        ("mxu_shared", 256, 128, 16),
-        ("mxu_shared", 640, 128, 32),
+        ("mxu_shared", 384, 128, 32),  # stacked-matmul sweep winner
+        ("mxu_shared", 384, 128, 16),
+        ("mxu_shared", 384, 128, 48),
+        ("mxu_shared", 384, 128, 64),
+        ("mxu_shared", 256, 128, 32),
+        ("mxu_shared", 256, 128, 64),
         ("mxu_shared", 512, 128, 64),
+        ("mxu_shared", 512, 256, 32),
     ]
     configs = (
         round5_configs if os.environ.get("PROF_ROUND5") else default_configs

@@ -14,6 +14,11 @@ Run: JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
      python benchmarks/scaling.py
 Env: SCALING_POINTS_PER_DEV (1280), SCALING_PARTICLES (512),
      SCALING_STEPS (10), SCALING_IMGSZ (512).
+     SCALING_MODE: 'weak' (default) scans on-device via ``track``;
+     'stream' weak-scales the chunked host-fed ``track_stream`` pipeline
+     (SCALING_CHUNK, default 4) and asserts the per-point mesh sharding
+     survives the chunk program; 'control' runs the oversubscription
+     control (same total work on 1 device vs the full mesh).
 """
 import json
 import os
@@ -131,6 +136,77 @@ def main() -> None:
                             t_sharded / t_single - 1.0, 4
                         ),
                     },
+                }
+            )
+        )
+        return
+
+    if mode == "stream":
+        # Sharded STREAMED pipeline (round-4 chunked host-fed scan): weak
+        # scaling of ``track_stream(chunk=n)`` under the mesh, asserting the
+        # per-point sharding survives the chunk program (the scan-path table
+        # above cannot see a resharding bug in the streamed path).
+        chunk = int(os.environ.get("SCALING_CHUNK", 4))
+        import jax.random
+        from jax.sharding import NamedSharding
+
+        rows = []
+        t1 = None
+        n_dev = 1
+        while n_dev <= max_dev:
+            n_points = per_dev * n_dev
+            mesh = get_mesh(n_dev)
+            tracker = build(n_points, particles, imgsz, mesh)
+
+            def run_stream(seed):
+                state, outputs = tracker.track_stream(
+                    jax.random.PRNGKey(seed), frames[0],
+                    iter(frames[1:]), dts, chunk=chunk,
+                )
+                np.asarray(outputs[-1]["mean"])
+                return state
+
+            print(f"[scaling/stream] {n_dev} devices: compiling",
+                  file=sys.stderr, flush=True)
+            state = run_stream(0)
+            sh = state.particles.sharding
+            assert isinstance(sh, NamedSharding) and sh.mesh.shape == dict(
+                mesh.shape
+            ), f"streamed state lost its mesh sharding: {sh}"
+            if n_dev > 1:
+                spec0 = sh.spec[0] if len(sh.spec) else None
+                assert spec0 == mesh.axis_names[0], (
+                    f"streamed particles not sharded over points: {sh.spec}"
+                )
+            elapsed = float("inf")
+            for rep in range(reps):
+                t0 = time.perf_counter()
+                run_stream(rep + 1)
+                elapsed = min(elapsed, time.perf_counter() - t0)
+            if t1 is None:
+                t1 = elapsed
+            print(f"[scaling/stream] {n_dev} devices: {elapsed:.2f}s",
+                  file=sys.stderr, flush=True)
+            rows.append(
+                {
+                    "devices": n_dev,
+                    "points": n_points,
+                    "wall_s": round(elapsed, 3),
+                    "point_steps_per_s": round(
+                        n_points * steps / elapsed, 1
+                    ),
+                    "efficiency": round(n_dev * t1 / elapsed, 3),
+                }
+            )
+            n_dev *= 2
+        print(
+            json.dumps(
+                {
+                    "config": f"{per_dev} points/device x {particles} "
+                              f"particles x {steps} streamed steps "
+                              f"(chunk={chunk}), img {imgsz}",
+                    "host_physical_cpus": os.cpu_count(),
+                    "weak_scaling_streamed": rows,
                 }
             )
         )

@@ -23,26 +23,34 @@ block pipelining = full-bandwidth DMA). Shared machinery:
   ``[b0+rW, b0+(r+1)W)`` exactly once — data-dependent trip count,
   usually one round: spans are ~C for near-uniform weights).
 
-Three layouts, in increasing measured speed at 10,240 x 2,048 (ms/step
-of the full PF update, one v5e chip):
+Four layouts, in increasing measured speed (kernel-only ms at 10,240 x
+2,048, one v5e chip, round-5 sweep):
 
-- ``lanes`` (227 ms): count-then-match. Windows are compare-COUNTED to
+- ``lanes``: count-then-match. Windows are compare-COUNTED to
   finish the searchsorted, then an equality hit mask one-hot-reduces each
   payload column; results accumulate into (P, 128) transposed output
   blocks through a one-hot lane mask (dynamic-lane stores don't lower),
   revisited for 16 grid steps and transposed back by the wrapper.
-- ``direct`` (199 ms): the count phase is GONE. Sorted thresholds mean
+- ``direct``: the count phase is GONE. Sorted thresholds mean
   ``idx[j] = i  <=>  t[i-1] < j <= t[i]``, so with a pre-shifted
   threshold row (``tm1``) built on the XLA side the source of every
   output is identified by two compares — no count sweep, no scalar
   ``cnt``/``rel`` chain, one control structure per chunk instead of two.
-- ``mxu_rows`` (149 ms, production default): direct hits + all K channel
-  selections in ONE matmul per round, ``cols (K, W) @ hit^T (W, C) ->
-  (K, C)`` on the MXU (HIGHEST precision — exact: one nonzero per row,
-  and the bf16x3 split carries all 24 f32 mantissa bits; verified
-  bit-equal to the VPU path on hardware). The (K, C) result stores as K
-  static row slices into this grid step's OWN (8, P) output block: no
-  lane-hot read-modify-write, no block revisiting, no output transpose.
+- ``mxu_rows`` (43.1 ms): direct hits + all K channel selections in ONE
+  matmul per round on the MXU via :func:`_exact_select_dot` — a stacked
+  ``[b1; b2; b3] (3K, W) @ hit^T (W, C)`` single default-precision pass
+  over the exact 3-term bf16 split of the payload (bit-equal to the VPU
+  path; the earlier HIGHEST-precision form cost 6 passes). The (K, C)
+  result stores as K static row slices into this grid step's OWN (G, P)
+  output block: no lane-hot read-modify-write, no block revisiting, no
+  output transpose.
+- ``mxu_shared`` (18.9 ms at W=384 C=128 G=16, production default): the
+  chunk loop is OUTER and the G points of a grid block share ONE scalar
+  section (bracket, window base, round cond) per chunk — scalar sections
+  drop G-fold, and they are what bound mxu_rows at production shapes.
+  The 3-term bf16 payload split is hoisted to block-level VMEM scratch,
+  written once per grid step, so each (chunk, round, point) is exactly
+  two (C, W) compares and one stacked (3K, W) @ (W, C) MXU pass.
 
 Shared Mosaic constraints: block shapes divisible by (8, 128); dynamic
 lane-slice starts provably 128-aligned (window starts are computed in
@@ -73,21 +81,20 @@ def _exact_select_dot(colmat, hitf):
     ``(b1 + b2) + b3 == v`` exactly since the terms' exponents are nested).
     Halves the MXU work of the select stage at identical results.
     """
+    K = colmat.shape[0]
     b1 = colmat.astype(jnp.bfloat16)
     r1 = colmat - b1.astype(jnp.float32)
     b2 = r1.astype(jnp.bfloat16)
     b3 = (r1 - b2.astype(jnp.float32)).astype(jnp.bfloat16)
+    # One stacked (3K, W) @ (W, C) pass (a 21-row matmul costs the same
+    # MXU latency as a 7-row one) instead of three accumulated dots.
+    stacked = jnp.concatenate([b1, b2, b3], axis=0)
     h = hitf.astype(jnp.bfloat16)
-    dims = (((1,), (1,)), ((), ()))
-    acc = jax.lax.dot_general(
-        b1, h, dims, preferred_element_type=jnp.float32
-    )
-    acc = acc + jax.lax.dot_general(
-        b2, h, dims, preferred_element_type=jnp.float32
-    )
-    return acc + jax.lax.dot_general(
-        b3, h, dims, preferred_element_type=jnp.float32
-    )
+    sel3 = jax.lax.dot_general(
+        stacked, h, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (3K, C)
+    return sel3[0:K] + sel3[K : 2 * K] + sel3[2 * K :]
 
 
 def _kernel(P: int, P_real: int, W: int, K: int, C: int, t_ref, *refs):
@@ -405,10 +412,26 @@ def _kernel_mxu_shared(P: int, P_real: int, W: int, K: int, C: int, G: int,
     """
     col_refs = refs[:K]
     out_refs = refs[K : K + K]
+    # bf16 scratch (3 per channel): block-level exact 3-way split of the
+    # payload, written once per grid step so every (chunk, round) loads
+    # pre-split windows and the inner loop is one matmul + two compares.
+    s1_refs = refs[2 * K : 3 * K]
+    s2_refs = refs[3 * K : 4 * K]
+    s3_refs = refs[4 * K : 5 * K]
     nch = P // C
     iota_w = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
     last_blk = (P - W) // 128
     wblk = W // 128
+
+    for k in range(K):
+        v = col_refs[k][...].astype(jnp.float32)  # (G, P)
+        b1 = v.astype(jnp.bfloat16)
+        r1 = v - b1.astype(jnp.float32)
+        b2 = r1.astype(jnp.bfloat16)
+        b3 = (r1 - b2.astype(jnp.float32)).astype(jnp.bfloat16)
+        s1_refs[k][...] = b1
+        s2_refs[k][...] = b2
+        s3_refs[k][...] = b3
 
     t_full = t_ref[...]  # (G, P) — loaded once, reused by every bracket
     for ci, c0 in enumerate(range(0, P, C)):
@@ -432,18 +455,29 @@ def _kernel_mxu_shared(P: int, P_real: int, W: int, K: int, C: int, G: int,
             lo = b0 + r * W
             row_ok = (gidx >= lo) & (gidx < jnp.minimum(lo + W, P_real))
             clipped = gidx == P_real - 1
-            cwins = [col_refs[k][:, pl.ds(sr, W)] for k in range(K)]  # (G, W)
+            w1 = [s1_refs[k][:, pl.ds(sr, W)] for k in range(K)]  # (G, W)
+            w2 = [s2_refs[k][:, pl.ds(sr, W)] for k in range(K)]
+            w3 = [s3_refs[k][:, pl.ds(sr, W)] for k in range(K)]
             out = []
             for g in range(G):
                 lo_eff = jnp.where(row_ok, winm1[g : g + 1, :], jnp.inf)
                 hi_eff = jnp.where(clipped, jnp.inf, win[g : g + 1, :])
                 hit = (lo_eff < jg_f) & (hi_eff >= jg_f)  # (C, W)
-                hitf = hit.astype(jnp.float32)
                 colmat = jnp.concatenate(
-                    [cwins[k][g : g + 1, :] for k in range(K)], axis=0
-                ).astype(jnp.float32)  # (K, W)
-                # Exact: one nonzero per output column (see _exact_select_dot).
-                sel = _exact_select_dot(colmat, hitf)  # (K, C)
+                    [w1[k][g : g + 1, :] for k in range(K)]
+                    + [w2[k][g : g + 1, :] for k in range(K)]
+                    + [w3[k][g : g + 1, :] for k in range(K)],
+                    axis=0,
+                )  # (3K, W) bf16
+                sel3 = jax.lax.dot_general(
+                    colmat,
+                    hit.astype(jnp.bfloat16),
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (3K, C) — exact: one nonzero per output column, and
+                # the 3-term bf16 split reconstructs f32 exactly (see
+                # _exact_select_dot).
+                sel = sel3[0:K] + sel3[K : 2 * K] + sel3[2 * K :]
                 out.append(accs[g] + sel)
             return tuple(out)
 
@@ -468,8 +502,8 @@ def _kernel_mxu_shared(P: int, P_real: int, W: int, K: int, C: int, G: int,
     static_argnames=("window", "interpret", "chunk", "layout", "points_block"),
 )
 def systematic_resample_gather(
-    t, cols, window: int = 256, interpret: bool = False, chunk: int = _C,
-    layout: str = "mxu_rows", points_block: int = _G_IN,
+    t, cols, window: int = 384, interpret: bool = False, chunk: int = _C,
+    layout: str = "mxu_shared", points_block: int = 16,
 ):
     """Resample payload columns by systematic indices, in one fused pass.
 
@@ -480,10 +514,11 @@ def systematic_resample_gather(
         window: source window width per round (rounded to 128).
         interpret: run in the Pallas interpreter (CPU tests).
         chunk: output-chunk height C (rounded to 128).
-        layout: kernel variant — 'mxu_rows' (production), 'direct', or
-            'lanes' (see module docstring). All three are bit-identical.
-        points_block: points per grid step ('mxu_rows' only — the
-            lane-oriented layouts are tied to the 8x128 block geometry).
+        layout: kernel variant — 'mxu_shared' (production), 'mxu_rows',
+            'direct', or 'lanes' (see module docstring). All four are
+            bit-identical.
+        points_block: points per grid step ('mxu_shared'/'mxu_rows' —
+            the lane-oriented layouts are tied to the 8x128 geometry).
 
     Returns a list of (N, P) columns with
     ``out[k][n, j] = cols[k][n, idx[n, j]]`` where
@@ -526,6 +561,12 @@ def systematic_resample_gather(
                 out_shape=[
                     jax.ShapeDtypeStruct((Np, Pp), c.dtype) for c in cols
                 ],
+                scratch_shapes=[
+                    pltpu.VMEM((G, Pp), jnp.bfloat16)
+                ] * (3 * K),
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=96 * 1024 * 1024
+                ),
                 interpret=interpret,
             )(t, tm1, *cols)
             return [o[:N, :P] for o in outs]

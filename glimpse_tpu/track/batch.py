@@ -349,13 +349,16 @@ class BatchConfig:
     resample_mode: str = "auto"  # 'auto' | 'xla' | 'pallas'
     # Pallas resample kernel shape knobs: source-window width, output
     # chunk height per sweep (multiples of 128), and kernel layout
-    # ('direct' = count-free two-compare hit; 'lanes' = count+match;
-    # see resample_pallas.py).
-    resample_window: int = 256
+    # ('mxu_shared' = production: one scalar section per (block, chunk),
+    # block-level bf16 pre-split, one stacked MXU select per round —
+    # 18.9 ms at 10,240 x 2,048 vs mxu_rows' 43-58 ms, round-5 sweep;
+    # 'mxu_rows' / 'direct' / 'lanes' are the earlier bit-identical
+    # layouts; see resample_pallas.py).
+    resample_window: int = 384
     resample_chunk: int = 128
-    resample_layout: str = "mxu_rows"
-    # Points per kernel grid step ('mxu_rows' layout only).
-    resample_points_block: int = 8
+    resample_layout: str = "mxu_shared"
+    # Points per kernel grid step ('mxu_shared'/'mxu_rows' layouts).
+    resample_points_block: int = 16
     # Whether step outputs include full 6x6 weighted covariances.
     return_covariances: bool = False
     # Effective-sample-size-triggered resampling: None resamples every step
@@ -487,8 +490,8 @@ def _gather_rows(particles, weights, idx):
     return pw[..., :6], pw[..., 6]
 
 
-def _fused_resample(particles, weights, u, mesh=None, window=256, chunk=128,
-                    layout="mxu_rows", points_block=8):
+def _fused_resample(particles, weights, u, mesh=None, window=384, chunk=128,
+                    layout="mxu_shared", points_block=16):
     """Systematic resample via the fused Pallas kernel (no gather engine).
 
     ``u``: (N, 1) comb offsets. Returns (particles, weights) resampled —
