@@ -98,6 +98,48 @@ def build_matches_problem(n_cams=6, n_pts=4000, seed=0):
     return model, None
 
 
+def build_lines_problem(n_cams=3, n_ridge=400, n_obs=1200, seed=0):
+    """Horizon-lines calibration: the Lines control's budgeted candidate
+    densification traced end-to-end (round-4 feature, measured here).
+
+    Each camera sees a distant ridge polyline; the observed image traces
+    come from the true orientation, the fit recovers viewdir per camera.
+    """
+    from glimpse_tpu import Camera, optimize
+
+    rng = np.random.default_rng(seed)
+    xs = np.linspace(-3000, 3000, n_ridge)
+    ridge = np.column_stack(
+        [xs, np.full_like(xs, 6000.0),
+         150 * np.sin(xs / 400) + 40 * np.sin(xs / 90)]
+    )
+    cams, controls = [], []
+    for i in range(n_cams):
+        true_v = rng.uniform(-2, 2, 3)
+        cam_true = Camera(imgsz=(4288, 2848), f=3000.0, viewdir=true_v)
+        uv = cam_true.xyz_to_uv(ridge)
+        ok = np.isfinite(uv).all(axis=1) & cam_true.inframe(uv)
+        trace = uv[ok]
+        if len(trace) < 8:
+            continue
+        # Densify the observed trace to n_obs points along the polyline.
+        t = np.linspace(0, len(trace) - 1, n_obs)
+        i0 = np.clip(np.floor(t).astype(int), 0, len(trace) - 2)
+        fr = (t - i0)[:, None]
+        obs = trace[i0] * (1 - fr) + trace[i0 + 1] * fr
+        cam = Camera(
+            imgsz=(4288, 2848), f=3000.0,
+            viewdir=true_v + rng.uniform(-0.25, 0.25, 3),
+        )
+        cams.append(cam)
+        controls.append(optimize.Lines(cam=cam, uvs=[obs], xyzs=[ridge]))
+    model = optimize.Cameras(
+        cams=cams, controls=controls,
+        cam_params=[{"viewdir": True} for _ in cams],
+    )
+    return model, None
+
+
 def run(builder, jac: str):
     model, truth = builder()
     counter = {"n": 0}
@@ -137,10 +179,15 @@ def main() -> None:
     if os.environ.get("BA_PLATFORM", "cpu") == "cpu":
         jax.config.update("jax_platforms", "cpu")
     report = {}
-    for name, builder in [
+    problems = [
         ("points_4cams_2kpts", build_problem),
         ("matches_6cams_4kpts", build_matches_problem),
-    ]:
+        ("lines_3cams_horizon", build_lines_problem),
+    ]
+    only = os.environ.get("BA_ONLY")
+    if only:
+        problems = [(n, b) for n, b in problems if only in n]
+    for name, builder in problems:
         exact = run(builder, "exact")
         fd = run(builder, "2-point")
         report[name] = {

@@ -57,10 +57,27 @@ class DeviceRaster:
     dx: Any  # signed cell size in x
     dy: Any  # signed cell size in y
 
+    def _use_dense(self, n_samples: int) -> bool:
+        """Gather-free dense sampling pays off on TPU for small rasters at
+        particle-filter sample counts (scalar gathers ~13 ms/M elements)."""
+        H, W = self.array.shape
+        return (
+            jax.default_backend() in ("tpu", "axon")
+            and H * W <= sampling_ops.DENSE_SAMPLE_MAX_CELLS
+            and n_samples >= 4096
+        )
+
     def sample(self, xy):
         """Bilinear sample at world points (..., 2)."""
         cols = (xy[..., 0] - self.x0) / self.dx - 0.5
         rows = (xy[..., 1] - self.y0) / self.dy - 0.5
+        if self.array.shape == (1, 1):
+            # Constant raster: every sample is the single cell value.
+            return jnp.broadcast_to(self.array[0, 0], rows.shape)
+        if self._use_dense(rows.size):
+            return sampling_ops.grid_sample_bilinear_dense(
+                self.array, rows, cols
+            )
         return sampling_ops.bilinear_sample(self.array, rows, cols, xp=jnp)
 
     def sample_nearest(self, xy):
@@ -80,6 +97,12 @@ class DeviceRaster:
             jnp.floor((xy[..., 1] - self.y0) / self.dy).astype(jnp.int32),
             0, H - 1,
         )
+        if self.array.shape == (1, 1):
+            return jnp.broadcast_to(self.array[0, 0], rows.shape)
+        if self._use_dense(rows.size):
+            return sampling_ops.grid_sample_nearest_dense(
+                self.array, rows, cols
+            )
         return self.array[rows, cols]
 
     def tree_flatten(self):

@@ -128,3 +128,52 @@ def test_bspline_basis_dense_rows_sum_to_one() -> None:
     q = np.linspace(0.0, 9.0, 101)
     B = sampling.bspline_basis_dense(q, 10, xp=np)
     np.testing.assert_allclose(B.sum(axis=-1), 1.0, atol=1e-12)
+
+
+def test_grid_sample_nearest_dense_bit_equal() -> None:
+    """The gather-free dense path is bit-identical to the index gather."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(9)
+    A = rng.normal(size=(37, 53)).astype(np.float32) * 1e3
+    ri = rng.integers(0, 37, size=(40, 17)).astype(np.int32)
+    ci = rng.integers(0, 53, size=(40, 17)).astype(np.int32)
+    got = np.asarray(
+        sampling.grid_sample_nearest_dense(jnp.asarray(A), jnp.asarray(ri),
+                                           jnp.asarray(ci), chunk=256)
+    )
+    np.testing.assert_array_equal(got, A[ri, ci])
+
+
+def test_grid_sample_bilinear_dense_bit_equal() -> None:
+    """Dense bilinear == gather bilinear: corner selections bit-exact,
+    total result to FMA-contraction level, incl. edge extrapolation
+    (out-of-bounds fractional indices)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(10)
+    A = rng.normal(size=(21, 19)).astype(np.float32) * 1e3
+    rows = rng.uniform(-2.0, 22.0, size=(1000,)).astype(np.float32)
+    cols = rng.uniform(-2.0, 21.0, size=(1000,)).astype(np.float32)
+    expect = np.asarray(
+        sampling.bilinear_sample(jnp.asarray(A), jnp.asarray(rows),
+                                 jnp.asarray(cols), xp=jnp)
+    )
+    got = np.asarray(
+        sampling.grid_sample_bilinear_dense(jnp.asarray(A),
+                                            jnp.asarray(rows),
+                                            jnp.asarray(cols), chunk=128)
+    )
+    np.testing.assert_allclose(got, expect, rtol=1e-5, atol=1e-2)
+
+
+def test_device_raster_constant_broadcast() -> None:
+    """A (1, 1) DeviceRaster samples to its value everywhere, both orders."""
+    import jax.numpy as jnp
+
+    from glimpse_tpu.track.batch import DeviceRaster
+
+    r = DeviceRaster.constant(7.25)
+    xy = jnp.asarray(np.random.default_rng(0).normal(size=(5, 6, 2)) * 100)
+    np.testing.assert_array_equal(np.asarray(r.sample(xy)), 7.25)
+    np.testing.assert_array_equal(np.asarray(r.sample_nearest(xy)), 7.25)
