@@ -122,6 +122,7 @@ def test_batch_tracker_multidevice_pallas_highpass() -> None:
     np.testing.assert_allclose(means_single, means_xla, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_batch_tracker_pallas_resample_matches_xla() -> None:
     """The fused Pallas resample (searchsorted + gather in one VMEM sweep)
     tracks identically to the XLA merge-rank + take_along_axis path,
@@ -145,6 +146,7 @@ def test_batch_tracker_pallas_resample_matches_xla() -> None:
     np.testing.assert_allclose(means_sharded, means_pallas, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_fused_resample_kernel_exact() -> None:
     """Kernel output == take_along_axis with the kernel's own indices
     (bit-exact row copies, searchsorted-left tie semantics)."""
@@ -199,6 +201,38 @@ def test_fused_resample_kernel_exact() -> None:
             assert (np.asarray(outl[k]) == np.asarray(out[k])).all(), layout
 
 
+def test_fused_resample_production_layout_fast() -> None:
+    """Fast default-gate coverage of the PRODUCTION kernel layout only
+    (the exhaustive all-layout/all-knob sweep above is marked slow):
+    bit-exact row copies at a small shape, skewed weights included."""
+    from glimpse_tpu.kernels.resample_pallas import (
+        systematic_resample_gather,
+    )
+
+    rng = np.random.default_rng(8)
+    N, P, K = 4, 256, 7
+    w = np.exp(rng.normal(size=(N, P)) * 3).astype(np.float32)
+    u = rng.random((N, 1)).astype(np.float32)
+    cum = np.cumsum(w / w.sum(-1, keepdims=True), -1)
+    t = jnp.asarray((P * cum - u).astype(np.float32))
+    cols = [
+        jnp.asarray(rng.normal(size=(N, P)).astype(np.float32))
+        for _ in range(K)
+    ]
+    out = systematic_resample_gather(t, cols, interpret=True)
+    tn = np.asarray(t)
+    idx = np.stack(
+        [
+            np.clip(np.searchsorted(tn[n], np.arange(P)), 0, P - 1)
+            for n in range(N)
+        ]
+    )
+    for k in range(K):
+        want = np.take_along_axis(np.asarray(cols[k]), idx, 1)
+        assert (np.asarray(out[k]) == want).all()
+
+
+@pytest.mark.slow
 def test_batch_tracker_pallas_resample_ess_threshold() -> None:
     """ESS-triggered resampling agrees between the fused Pallas path and
     the XLA path (non-degraded points keep particles and weights)."""
@@ -1277,6 +1311,7 @@ def test_late_starting_observer_template_lockstep() -> None:
     )
 
 
+@pytest.mark.slow
 def test_late_template_stream_matches_track() -> None:
     """track_stream with obs_mask0/late templates matches the in-memory
     segmented-scan path bit-exactly."""

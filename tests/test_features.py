@@ -28,6 +28,7 @@ def render(field, dy, dx, size=200, origin=40):
     ).astype(np.uint8)
 
 
+@pytest.mark.slow
 def test_fixed_budget_and_descriptor_contract(texture_field):
     img = render(texture_field, 0, 0)
     (pts, desc), = features.detect_and_describe([img], nfeatures=128, batch=1)
@@ -41,6 +42,7 @@ def test_fixed_budget_and_descriptor_contract(texture_field):
     assert pts.max() < 200
 
 
+@pytest.mark.slow
 def test_integer_shift_repeatability(texture_field):
     a = render(texture_field, 0, 0)
     b = np.roll(np.roll(a, 3, axis=0), 5, axis=1)
@@ -72,6 +74,7 @@ def test_subpixel_shift_recovery(texture_field):
     np.testing.assert_allclose(med, [-0.61, 0.37], atol=0.08)
 
 
+@pytest.mark.slow
 def test_blob_localization():
     size = 96
     yy, xx = np.mgrid[0:size, 0:size].astype(float)
@@ -100,6 +103,7 @@ def test_blob_localization():
     assert np.abs(np.asarray(errs)).max() < 0.1
 
 
+@pytest.mark.slow
 def test_mask_is_respected(texture_field):
     img = render(texture_field, 0, 0)
     mask = np.zeros_like(img)
@@ -111,6 +115,7 @@ def test_mask_is_respected(texture_field):
     assert pts[:, 1].max() < 108  # mask edge + descriptor-support slack
 
 
+@pytest.mark.slow
 def test_batch_padding_last_chunk(texture_field):
     imgs = [render(texture_field, i, 0) for i in range(3)]
     out = features.detect_and_describe(imgs, nfeatures=64, batch=2)
@@ -119,6 +124,7 @@ def test_batch_padding_last_chunk(texture_field):
         assert len(pts) == len(desc) > 0
 
 
+@pytest.mark.slow
 def test_detect_keypoints_device_cv2_kwargs(texture_field):
     from glimpse_tpu import optimize
 
@@ -130,6 +136,7 @@ def test_detect_keypoints_device_cv2_kwargs(texture_field):
     assert len(pts) > 0 and desc.shape[1] == 128
 
 
+@pytest.mark.slow
 def test_matcher_interop_with_host_flann(texture_field):
     """Device keypoints flow through the host FLANN matcher too."""
     cv2 = pytest.importorskip("cv2")
