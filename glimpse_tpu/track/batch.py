@@ -710,14 +710,24 @@ def _project_and_extract(
     th, tw = cfg.template_size
     sh, sw = cfg.search_size
     H, W = image.shape
-    uv = projection.project(
-        camera_vector, particles[..., 0:3], correction=correction, xp=jnp
-    )  # (N, P, 2)
-    uv = jnp.nan_to_num(uv, nan=-1e6)
-    uv_mean = jnp.sum(uv * w_norm[..., None], axis=1)  # (N, 2)
+    # Plane-form projection: (N, P) u/v component planes keep the particle
+    # axis in the TPU's 128-lane dimension (the packed (N, P, 2/3) chain
+    # ran the whole elementwise projection at <3% lane utilization).
+    u, v = projection.project_planes(
+        camera_vector,
+        particles[..., 0],
+        particles[..., 1],
+        particles[..., 2],
+        correction=correction,
+        xp=jnp,
+    )  # (N, P) each
+    u = jnp.nan_to_num(u, nan=-1e6)
+    v = jnp.nan_to_num(v, nan=-1e6)
+    u_mean = jnp.sum(u * w_norm, axis=1)  # (N,)
+    v_mean = jnp.sum(v * w_norm, axis=1)
     # Integer search-box corners, clamped inside the image.
-    corner_col = jnp.clip(jnp.round(uv_mean[:, 0] - sw * 0.5).astype(jnp.int32), 0, W - sw)
-    corner_row = jnp.clip(jnp.round(uv_mean[:, 1] - sh * 0.5).astype(jnp.int32), 0, H - sh)
+    corner_col = jnp.clip(jnp.round(u_mean - sw * 0.5).astype(jnp.int32), 0, W - sw)
+    corner_row = jnp.clip(jnp.round(v_mean - sh * 0.5).astype(jnp.int32), 0, H - sh)
     corners = jnp.stack([corner_row, corner_col], axis=-1)
     if cfg.extract_mode == "matmul":
         search = _extract_tiles_matmul(image, corners, (sh, sw), dtype=cfg.dtype)
@@ -727,8 +737,8 @@ def _project_and_extract(
     # left edge = box_left + (tw/2 - 0.5) + duv_x.
     sse_left = corner_col.astype(cfg.dtype) + (tw * 0.5 - 0.5) + template_duv[:, 0]
     sse_top = corner_row.astype(cfg.dtype) + (th * 0.5 - 0.5) + template_duv[:, 1]
-    cols = uv[..., 0] - sse_left[:, None] - 0.5  # (N, P) fractional indices
-    rows = uv[..., 1] - sse_top[:, None] - 0.5
+    cols = u - sse_left[:, None] - 0.5  # (N, P) fractional indices
+    rows = v - sse_top[:, None] - 0.5
     return search, cols, rows
 
 

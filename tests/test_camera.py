@@ -332,3 +332,43 @@ def test_nonreversible_camera_undistort_method_dispatch() -> None:
     xyz = cam.uv_to_xyz(uv, method="regulafalsi")
     uv_back = cam.xyz_to_uv(xyz, directions=True)
     assert np.nanmax(np.abs(uv_back - uv)) < 1e-6
+
+
+def test_project_planes_matches_packed() -> None:
+    """The plane-form projection equals the packed path (both backends).
+
+    Float64 host: identical to ~1e-12 (op-order only). Covers distortion,
+    elevation correction, and behind-camera NaN.
+    """
+    import numpy as np
+
+    from glimpse_tpu.ops import projection
+
+    rng = np.random.default_rng(4)
+    vec = np.zeros(20)
+    vec[0:3] = (100.0, -50.0, 25.0)
+    vec[3:6] = (15.0, -30.0, 2.0)
+    vec[6:8] = (4288, 2848)
+    vec[8:10] = (3000.0, 3010.0)
+    vec[10:12] = (3.0, -2.0)
+    vec[12:18] = (-0.12, 0.04, -0.002, 0.01, 0.0, 0.0)
+    vec[18:20] = (0.001, -0.002)
+    xyz = np.column_stack(
+        [
+            rng.uniform(-500, 500, 4000),
+            rng.uniform(-500, 2000, 4000),  # includes behind-camera points
+            rng.uniform(-300, 300, 4000),
+        ]
+    )
+    for correction in (None, (6.3781e6, 0.13)):
+        uv = projection.project(vec, xyz, correction=correction, xp=np)
+        u, v = projection.project_planes(
+            vec, xyz[:, 0], xyz[:, 1], xyz[:, 2], correction=correction,
+            xp=np,
+        )
+        both_nan = np.isnan(uv[:, 0]) & np.isnan(u)
+        assert (np.isnan(uv[:, 0]) == np.isnan(u)).all()
+        ok = ~both_nan
+        assert ok.sum() > 100  # in-front points exist
+        np.testing.assert_allclose(u[ok], uv[ok, 0], rtol=1e-11, atol=1e-9)
+        np.testing.assert_allclose(v[ok], uv[ok, 1], rtol=1e-11, atol=1e-9)
